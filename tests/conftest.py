@@ -13,3 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The env var alone does not displace the axon TPU plugin in this image;
+# jax.config does.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

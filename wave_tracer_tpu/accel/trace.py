@@ -1,0 +1,316 @@
+"""Wavefront ray tracing kernels over SoA scene geometry (jit-compiled).
+
+Two backends, both operating on flat triangle arrays:
+
+* ``brute``  — tiled all-triangles test. For the scene sizes of the wave
+  benchmarks (tens to thousands of triangles) this maps far better onto the
+  TPU VPU than gather-heavy tree traversal: each step is a dense
+  (beam_tile x tri_tile) Moller-Trumbore evaluation with a running min-reduce.
+* ``bvh``    — stack-based traversal of the flat binary BVH (accel/bvh.py)
+  for large scenes; per-lane stacks live in a (N, MAX_DEPTH) array updated
+  with scatters, all lanes step in lock-step.
+
+The reference's equivalents are the 8-wide BVH traversals in
+reference src/ads/bvh8w.cpp:469-554 (ray) — here the batch dimension replaces
+the SIMD width.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from wave_tracer_tpu.accel.bvh import MAX_DEPTH
+from wave_tracer_tpu.ops.intersect import BIG, ray_aabb, ray_tri
+
+
+@struct.dataclass
+class GeoArrays:
+    """Device-side scene geometry, triangles pre-permuted into BVH order."""
+    p0: jnp.ndarray      # (T, 3)
+    e1: jnp.ndarray      # (T, 3)
+    e2: jnp.ndarray      # (T, 3)
+    n0: jnp.ndarray      # (T, 3) shading normals per corner
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray     # (T, 2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    geo_n: jnp.ndarray   # (T, 3)
+    dpdu: jnp.ndarray    # (T, 3)
+    mat_id: jnp.ndarray  # (T,) i32
+    shape_id: jnp.ndarray  # (T,) i32
+    emitter_id: jnp.ndarray  # (T,) i32; -1 when not an area emitter
+    # flat BVH
+    node_min: jnp.ndarray
+    node_max: jnp.ndarray
+    node_left: jnp.ndarray
+    node_count: jnp.ndarray
+
+    @property
+    def num_tris(self):
+        return self.p0.shape[0]
+
+
+def from_soup(soup, mat_id, shape_id, emitter_id, bvh) -> GeoArrays:
+    """Upload a TriangleSoup + per-tri ids, permuted into BVH leaf order."""
+    import numpy as np
+    perm = bvh.tri_order if len(bvh.tri_order) else np.zeros(0, np.int32)
+    p = soup.positions[perm]
+    n = soup.normals[perm]
+    uv = soup.uvs[perm]
+    return GeoArrays(
+        p0=jnp.asarray(p[:, 0]), e1=jnp.asarray(p[:, 1] - p[:, 0]),
+        e2=jnp.asarray(p[:, 2] - p[:, 0]),
+        n0=jnp.asarray(n[:, 0]), n1=jnp.asarray(n[:, 1]),
+        n2=jnp.asarray(n[:, 2]),
+        uv0=jnp.asarray(uv[:, 0]), uv1=jnp.asarray(uv[:, 1]),
+        uv2=jnp.asarray(uv[:, 2]),
+        geo_n=jnp.asarray(soup.geo_n[perm]),
+        dpdu=jnp.asarray(soup.dpdu[perm]),
+        mat_id=jnp.asarray(np.asarray(mat_id)[perm], jnp.int32),
+        shape_id=jnp.asarray(np.asarray(shape_id)[perm], jnp.int32),
+        emitter_id=jnp.asarray(np.asarray(emitter_id)[perm], jnp.int32),
+        node_min=jnp.asarray(bvh.node_min),
+        node_max=jnp.asarray(bvh.node_max),
+        node_left=jnp.asarray(bvh.node_left),
+        node_count=jnp.asarray(bvh.node_count),
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force backend
+# ---------------------------------------------------------------------------
+
+_TRI_TILE = 512
+
+
+def _pad_len(T):
+    return max(_TRI_TILE, ((T + _TRI_TILE - 1) // _TRI_TILE) * _TRI_TILE)
+
+
+def trace_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
+    """Closest hit over all triangles. ro/rd (N,3), tmin/tmax (N,).
+    exclude_tri: (N,) i32 triangle to skip (self-intersection), or None.
+    Returns (t, tri_idx, u, v); tri_idx == -1 when missed."""
+    T = geo.num_tris
+    TP = _pad_len(T)
+    pad = TP - T
+    p0 = jnp.pad(geo.p0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(geo.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(geo.e2, ((0, pad), (0, 0)))
+    N = ro.shape[0]
+    if exclude_tri is None:
+        exclude_tri = jnp.full((N,), -1, jnp.int32)
+
+    def body(c, carry):
+        best_t, best_i, best_u, best_v = carry
+        s = c * _TRI_TILE
+        tp0 = jax.lax.dynamic_slice(p0, (s, 0), (_TRI_TILE, 3))
+        te1 = jax.lax.dynamic_slice(e1, (s, 0), (_TRI_TILE, 3))
+        te2 = jax.lax.dynamic_slice(e2, (s, 0), (_TRI_TILE, 3))
+        t, u, v, hit = ray_tri(ro[:, None, :], rd[:, None, :],
+                               tp0[None], te1[None], te2[None],
+                               tmin[:, None], tmax[:, None])
+        tri_ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, _TRI_TILE), 1)
+        hit &= tri_ids < T
+        hit &= tri_ids != exclude_tri[:, None]
+        t = jnp.where(hit, t, BIG)
+        # closest within tile
+        j = jnp.argmin(t, axis=1)
+        rows = jnp.arange(N)
+        tt = t[rows, j]
+        better = tt < best_t
+        return (jnp.where(better, tt, best_t),
+                jnp.where(better, s + j, best_i),
+                jnp.where(better, u[rows, j], best_u),
+                jnp.where(better, v[rows, j], best_v))
+
+    init = (jnp.full((N,), BIG), jnp.full((N,), -1, jnp.int32),
+            jnp.zeros((N,)), jnp.zeros((N,)))
+    best_t, best_i, best_u, best_v = jax.lax.fori_loop(
+        0, TP // _TRI_TILE, body, init)
+    best_i = jnp.where(best_t < BIG, best_i, -1)
+    return best_t, best_i, best_u, best_v
+
+
+def occluded_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
+                   exclude_tri2=None):
+    """Any-hit within (tmin, tmax). Returns bool (N,)."""
+    T = geo.num_tris
+    TP = _pad_len(T)
+    pad = TP - T
+    p0 = jnp.pad(geo.p0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(geo.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(geo.e2, ((0, pad), (0, 0)))
+    N = ro.shape[0]
+    if exclude_tri is None:
+        exclude_tri = jnp.full((N,), -1, jnp.int32)
+    if exclude_tri2 is None:
+        exclude_tri2 = jnp.full((N,), -1, jnp.int32)
+
+    def body(c, occ):
+        s = c * _TRI_TILE
+        tp0 = jax.lax.dynamic_slice(p0, (s, 0), (_TRI_TILE, 3))
+        te1 = jax.lax.dynamic_slice(e1, (s, 0), (_TRI_TILE, 3))
+        te2 = jax.lax.dynamic_slice(e2, (s, 0), (_TRI_TILE, 3))
+        _, _, _, hit = ray_tri(ro[:, None, :], rd[:, None, :],
+                               tp0[None], te1[None], te2[None],
+                               tmin[:, None], tmax[:, None])
+        tri_ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, _TRI_TILE), 1)
+        hit &= tri_ids < T
+        hit &= tri_ids != exclude_tri[:, None]
+        hit &= tri_ids != exclude_tri2[:, None]
+        return occ | jnp.any(hit, axis=1)
+
+    return jax.lax.fori_loop(0, TP // _TRI_TILE, body,
+                             jnp.zeros((N,), bool))
+
+
+# ---------------------------------------------------------------------------
+# BVH backend
+# ---------------------------------------------------------------------------
+
+_LEAF_TILE = 4  # must cover max_leaf of the builder
+
+
+def trace_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
+    """Stack-based closest-hit traversal, lanes in lock-step."""
+    N = ro.shape[0]
+    if exclude_tri is None:
+        exclude_tri = jnp.full((N,), -1, jnp.int32)
+    inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-30,
+                             jnp.where(rd < 0, -1e-30, 1e-30), rd)
+    rows = jnp.arange(N)
+
+    def cond(state):
+        sp = state[0]
+        return jnp.any(sp > 0)
+
+    def step(state):
+        sp, stack, best_t, best_i, best_u, best_v = state
+        active = sp > 0
+        spc = jnp.maximum(sp - 1, 0)
+        node = stack[rows, spc]
+        node = jnp.where(active, node, 0)
+        sp = jnp.where(active, spc, sp)
+
+        cnt = geo.node_count[node]
+        is_leaf = (cnt > 0) & active
+        is_int = (cnt == 0) & active
+
+        # --- internal: test children AABBs, push hit children near-first
+        left = geo.node_left[node]
+        right = left + 1
+        lt, lhit = ray_aabb(ro, inv_rd, geo.node_min[left],
+                            geo.node_max[left], tmin, best_t)
+        rt, rhit = ray_aabb(ro, inv_rd, geo.node_min[right],
+                            geo.node_max[right], tmin, best_t)
+        lhit &= is_int
+        rhit &= is_int
+        # near child popped first -> push far first
+        l_near = lt <= rt
+        first = jnp.where(l_near, left, right)
+        second = jnp.where(l_near, right, left)
+        first_hit = jnp.where(l_near, lhit, rhit)
+        second_hit = jnp.where(l_near, rhit, lhit)
+        # push far (second) then near (first)
+        stack = stack.at[rows, sp].set(
+            jnp.where(second_hit, second, stack[rows, sp]))
+        sp = sp + second_hit.astype(jnp.int32)
+        stack = stack.at[rows, sp].set(
+            jnp.where(first_hit, first, stack[rows, sp]))
+        sp = sp + first_hit.astype(jnp.int32)
+
+        # --- leaf: test up to _LEAF_TILE triangles
+        tri0 = geo.node_left[node]
+        for k in range(_LEAF_TILE):
+            ti = tri0 + k
+            ok = is_leaf & (k < cnt) & (ti != exclude_tri)
+            tiv = jnp.where(ok, ti, 0)
+            t, u, v, hit = ray_tri(ro, rd, geo.p0[tiv], geo.e1[tiv],
+                                   geo.e2[tiv], tmin, best_t)
+            hit &= ok
+            better = hit & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, tiv, best_i)
+            best_u = jnp.where(better, u, best_u)
+            best_v = jnp.where(better, v, best_v)
+
+        return sp, stack, best_t, best_i, best_u, best_v
+
+    stack = jnp.zeros((N, MAX_DEPTH + 2), jnp.int32)
+    sp = jnp.ones((N,), jnp.int32)  # root pre-pushed (node 0)
+    init = (sp, stack, jnp.minimum(tmax, BIG),
+            jnp.full((N,), -1, jnp.int32), jnp.zeros((N,)), jnp.zeros((N,)))
+    _, _, best_t, best_i, best_u, best_v = jax.lax.while_loop(
+        cond, step, init)
+    best_t = jnp.where(best_i >= 0, best_t, BIG)
+    return best_t, best_i, best_u, best_v
+
+
+# ---------------------------------------------------------------------------
+# dispatch + hit attribute interpolation
+# ---------------------------------------------------------------------------
+
+BRUTE_THRESHOLD = 16384
+
+
+def trace(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
+    if geo.num_tris <= BRUTE_THRESHOLD:
+        return trace_brute(geo, ro, rd, tmin, tmax, exclude_tri)
+    return trace_bvh(geo, ro, rd, tmin, tmax, exclude_tri)
+
+
+def occluded(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
+             exclude_tri2=None):
+    if geo.num_tris <= BRUTE_THRESHOLD:
+        return occluded_brute(geo, ro, rd, tmin, tmax, exclude_tri,
+                              exclude_tri2)
+    t, i, _, _ = trace_bvh(geo, ro, rd, tmin, tmax, exclude_tri)
+    if exclude_tri2 is not None:
+        return (i >= 0) & (i != exclude_tri2)
+    return i >= 0
+
+
+@struct.dataclass
+class SurfaceHit:
+    """Interpolated surface interaction (reference
+    include/wt/interaction/intersection.hpp:33-225, SoA)."""
+    p: jnp.ndarray         # (N, 3) world hit position
+    t: jnp.ndarray         # (N,) distance
+    tri: jnp.ndarray       # (N,) i32, -1 = miss
+    valid: jnp.ndarray     # (N,) bool
+    uv: jnp.ndarray        # (N, 2)
+    geo_n: jnp.ndarray     # (N, 3) geometric normal (as stored)
+    ns: jnp.ndarray        # (N, 3) interpolated shading normal
+    dpdu: jnp.ndarray      # (N, 3)
+    front: jnp.ndarray     # (N,) bool — ray hit the front face
+    mat_id: jnp.ndarray    # (N,) i32
+    shape_id: jnp.ndarray  # (N,) i32
+    emitter_id: jnp.ndarray  # (N,) i32
+
+
+def hit_attributes(geo: GeoArrays, ro, rd, t, tri, u, v) -> SurfaceHit:
+    valid = tri >= 0
+    ti = jnp.where(valid, tri, 0)
+    w = 1.0 - u - v
+    uv = (w[:, None] * geo.uv0[ti] + u[:, None] * geo.uv1[ti]
+          + v[:, None] * geo.uv2[ti])
+    ns = (w[:, None] * geo.n0[ti] + u[:, None] * geo.n1[ti]
+          + v[:, None] * geo.n2[ti])
+    nlen = jnp.sqrt(jnp.maximum(jnp.sum(ns * ns, axis=-1, keepdims=True),
+                                1e-30))
+    ns = ns / nlen
+    gn = geo.geo_n[ti]
+    front = jnp.sum(rd * gn, axis=-1) < 0.0
+    tsafe = jnp.where(valid, t, 0.0)
+    return SurfaceHit(
+        p=ro + tsafe[:, None] * rd,
+        t=tsafe, tri=tri, valid=valid, uv=uv, geo_n=gn, ns=ns,
+        dpdu=geo.dpdu[ti], front=front,
+        mat_id=jnp.where(valid, geo.mat_id[ti], -1),
+        shape_id=jnp.where(valid, geo.shape_id[ti], -1),
+        emitter_id=jnp.where(valid, geo.emitter_id[ti], -1),
+    )
