@@ -107,8 +107,12 @@ class TestIO:
         np.testing.assert_allclose(soup.areas().sum(), 1.0)
 
     def test_reference_bunny_loads(self):
-        v, f, n, uv = ply.load_ply(
-            "/root/reference/scenes/cornell-box/bunny/bun_zipper.ply")
+        import pytest
+        path = "/root/reference/scenes/cornell-box/bunny/bun_zipper.ply"
+        with open(path, "rb") as fh:
+            if fh.read(30).startswith(b"version https://git-lfs"):
+                pytest.skip("reference asset is a git-lfs stub")
+        v, f, n, uv = ply.load_ply(path)
         assert len(v) > 30000 and len(f) > 60000
         soup = mesh.build_soup(v, f, n, uv,
                                Transform.scale(0.01))
