@@ -1,0 +1,207 @@
+"""Textures: host-side model + baked device atlas.
+
+Mirrors the reference texture inventory (reference include/wt/texture/
+texture.hpp:43-92; bitmap, checkerboard, constant, mix, scale, ...) with a
+TPU-first representation: all bitmap textures are packed into one padded
+atlas array so a batched bilinear lookup is a single gather; constant and
+procedural textures evaluate as pure math. A texture evaluates either to
+RGB (for display responses) or to a scalar spectral value at wavenumber k
+(RGB texels are uplifted through the Smits basis on device).
+
+Wrapper textures (scale) are flattened into per-texture scalar/spectral
+multipliers at bake time rather than kept as a tree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from wave_tracer_tpu.spectrum.bake import SpectrumTable, smits_uplift_dev
+from wave_tracer_tpu.spectrum.spectra import Spectrum
+
+TYPE_CONST_SPECTRUM = 0
+TYPE_CONST_RGB = 1
+TYPE_BITMAP = 2
+TYPE_CHECKERBOARD = 3
+
+
+class Texture:
+    """Host-side texture node."""
+    scale_spectrum: Optional[Spectrum] = None
+    scale: float = 1.0
+
+
+@dataclass
+class ConstantSpectrumTexture(Texture):
+    spectrum: Spectrum
+    scale: float = 1.0
+    scale_spectrum: Optional[Spectrum] = None
+
+
+@dataclass
+class ConstantRGBTexture(Texture):
+    rgb: tuple
+    scale: float = 1.0
+    scale_spectrum: Optional[Spectrum] = None
+
+
+@dataclass
+class BitmapTexture(Texture):
+    """Image-backed texture; data (H, W, 3) float in linear space."""
+    data: np.ndarray
+    uv_scale: tuple = (1.0, 1.0)
+    uv_offset: tuple = (0.0, 0.0)
+    scale: float = 1.0
+    scale_spectrum: Optional[Spectrum] = None
+
+
+@dataclass
+class CheckerboardTexture(Texture):
+    rgb_a: tuple = (0.4, 0.4, 0.4)
+    rgb_b: tuple = (0.2, 0.2, 0.2)
+    uv_scale: tuple = (1.0, 1.0)
+    uv_offset: tuple = (0.0, 0.0)
+    scale: float = 1.0
+    scale_spectrum: Optional[Spectrum] = None
+
+
+@struct.dataclass
+class TextureTable:
+    type: jnp.ndarray        # (T,) i32
+    spec_id: jnp.ndarray     # (T,) i32 — constant-spectrum id (or -1)
+    sscale_id: jnp.ndarray   # (T,) i32 — scale-spectrum id (or -1)
+    rgb: jnp.ndarray         # (T, 3)
+    rgb2: jnp.ndarray        # (T, 3)
+    uv_xform: jnp.ndarray    # (T, 4) scale.xy, offset.xy
+    scale: jnp.ndarray       # (T,)
+    atlas_slot: jnp.ndarray  # (T,) i32 (or -1)
+    atlas: jnp.ndarray       # (A, HMAX, WMAX, 3)
+    atlas_size: jnp.ndarray  # (A, 2) i32 (h, w)
+
+
+def bake_textures(textures: list[Texture],
+                  spectrum_ids: dict[int, int]) -> TextureTable:
+    """Pack host textures. spectrum_ids maps id(spectrum obj) → baked row."""
+    T = max(len(textures), 1)
+    typ = np.zeros(T, np.int32)
+    spec_id = np.full(T, -1, np.int32)
+    sscale_id = np.full(T, -1, np.int32)
+    rgb = np.ones((T, 3), np.float32)
+    rgb2 = np.zeros((T, 3), np.float32)
+    uvx = np.tile(np.array([1, 1, 0, 0], np.float32), (T, 1))
+    scale = np.ones(T, np.float32)
+    slots = np.full(T, -1, np.int32)
+
+    bitmaps = [t for t in textures if isinstance(t, BitmapTexture)]
+    if bitmaps:
+        hmax = max(b.data.shape[0] for b in bitmaps)
+        wmax = max(b.data.shape[1] for b in bitmaps)
+        atlas = np.zeros((len(bitmaps), hmax, wmax, 3), np.float32)
+        sizes = np.zeros((len(bitmaps), 2), np.int32)
+        for a, b in enumerate(bitmaps):
+            h, w = b.data.shape[:2]
+            atlas[a, :h, :w] = b.data[..., :3]
+            sizes[a] = (h, w)
+    else:
+        atlas = np.zeros((1, 1, 1, 3), np.float32)
+        sizes = np.ones((1, 2), np.int32)
+
+    slot_of = {id(b): a for a, b in enumerate(bitmaps)}
+    for i, t in enumerate(textures):
+        scale[i] = t.scale
+        if t.scale_spectrum is not None:
+            sscale_id[i] = spectrum_ids[id(t.scale_spectrum)]
+        if isinstance(t, ConstantSpectrumTexture):
+            typ[i] = TYPE_CONST_SPECTRUM
+            spec_id[i] = spectrum_ids[id(t.spectrum)]
+        elif isinstance(t, ConstantRGBTexture):
+            typ[i] = TYPE_CONST_RGB
+            rgb[i] = t.rgb
+        elif isinstance(t, BitmapTexture):
+            typ[i] = TYPE_BITMAP
+            slots[i] = slot_of[id(t)]
+            uvx[i] = (*t.uv_scale, *t.uv_offset)
+        elif isinstance(t, CheckerboardTexture):
+            typ[i] = TYPE_CHECKERBOARD
+            rgb[i] = t.rgb_a
+            rgb2[i] = t.rgb_b
+            uvx[i] = (*t.uv_scale, *t.uv_offset)
+        else:
+            raise TypeError(f"unsupported texture {type(t)}")
+
+    return TextureTable(
+        type=jnp.asarray(typ), spec_id=jnp.asarray(spec_id),
+        sscale_id=jnp.asarray(sscale_id), rgb=jnp.asarray(rgb),
+        rgb2=jnp.asarray(rgb2), uv_xform=jnp.asarray(uvx),
+        scale=jnp.asarray(scale), atlas_slot=jnp.asarray(slots),
+        atlas=jnp.asarray(atlas), atlas_size=jnp.asarray(sizes))
+
+
+def _bilinear(table: TextureTable, slot, u, v):
+    """Bilinear atlas fetch; uv wraps (repeat)."""
+    slot = jnp.maximum(slot, 0)
+    h = table.atlas_size[slot, 0].astype(jnp.float32)
+    w = table.atlas_size[slot, 1].astype(jnp.float32)
+    # image row 0 is the top; v=0 is the bottom of the texture
+    x = (u % 1.0) * w - 0.5
+    y = (1.0 - (v % 1.0)) * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    hi = table.atlas_size[slot, 0]
+    wi = table.atlas_size[slot, 1]
+
+    def tex(yy, xx):
+        yy = jnp.clip(yy.astype(jnp.int32) % hi, 0, table.atlas.shape[1] - 1)
+        xx = jnp.clip(xx.astype(jnp.int32) % wi, 0, table.atlas.shape[2] - 1)
+        return table.atlas[slot, yy, xx]
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return ((1 - fx) * (1 - fy) * tex(y0, x0) + fx * (1 - fy) * tex(y0, x0 + 1)
+            + (1 - fx) * fy * tex(y0 + 1, x0) + fx * fy * tex(y0 + 1, x0 + 1))
+
+
+def eval_texture_rgb(table: TextureTable, spec_table: SpectrumTable,
+                     tex_id, uv):
+    """RGB value of texture tex_id (...,) at uv (..., 2) → (..., 3)."""
+    tid = jnp.maximum(tex_id, 0)
+    typ = table.type[tid]
+    xf = table.uv_xform[tid]
+    u = uv[..., 0] * xf[..., 0] + xf[..., 2]
+    v = uv[..., 1] * xf[..., 1] + xf[..., 3]
+
+    bitmap = _bilinear(table, table.atlas_slot[tid], u, v)
+    checker = jnp.where(
+        (((jnp.floor(u) + jnp.floor(v)) % 2.0) < 1.0)[..., None],
+        table.rgb[tid], table.rgb2[tid])
+    out = jnp.where((typ == TYPE_BITMAP)[..., None], bitmap,
+                    jnp.where((typ == TYPE_CHECKERBOARD)[..., None], checker,
+                              table.rgb[tid]))
+    return out * table.scale[tid][..., None]
+
+
+def eval_texture_scalar(table: TextureTable, spec_table: SpectrumTable,
+                        tex_id, uv, k):
+    """Scalar spectral value of texture tex_id at uv and wavenumber k.
+
+    RGB-typed texels are uplifted through the Smits basis; constant-spectrum
+    textures evaluate their baked spectrum (reference texture_t::f,
+    texture.hpp:43-92)."""
+    tid = jnp.maximum(tex_id, 0)
+    typ = table.type[tid]
+    rgbv = eval_texture_rgb(table, spec_table, tex_id, uv) \
+        / jnp.maximum(table.scale[tid][..., None], 1e-30)
+    from_rgb = smits_uplift_dev(rgbv, k)
+    from_spec = spec_table.eval(table.spec_id[tid], k)
+    out = jnp.where(typ == TYPE_CONST_SPECTRUM, from_spec, from_rgb)
+    out = out * table.scale[tid]
+    sscale = jnp.where(table.sscale_id[tid] >= 0,
+                       spec_table.eval(table.sscale_id[tid], k), 1.0)
+    return out * sscale
