@@ -1,0 +1,182 @@
+"""Backward unidirectional path integrator — wavefront over beam lanes.
+
+TPU-first re-design of the reference's plt_path backward walk
+(reference include/wt/integrator/plt_path/plt_path_detail.hpp:543-801):
+the recursive random_walk becomes a bounded `lax.fori_loop` over a SoA lane
+state; every lane carries a full Mueller throughput operator (the
+reference's backward beam, beam.hpp:31-248), spectral path state (one
+sampled wavenumber per lane) and MIS bookkeeping. All control flow is
+masked lane arithmetic — no data-dependent branching under jit.
+
+Pipeline per lane: spectral sample (emitter×sensitivity product) → camera
+importance ray → [trace → emission MIS → NEE (power-heuristic MIS) → BSDF
+sample → russian roulette]^depth → response-weighted film splat.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from wave_tracer_tpu.accel import trace as trace_mod
+from wave_tracer_tpu.bsdf import device as bsdf_dev
+from wave_tracer_tpu.emitter import table as etab
+from wave_tracer_tpu.math import frame as frame_mod
+from wave_tracer_tpu.math import vec
+from wave_tracer_tpu.polarization import stokes
+from wave_tracer_tpu.sampling import rng
+
+BIG = 1e30
+
+
+def _power_heuristic(a, b):
+    a2 = a * a
+    return a2 / jnp.maximum(a2 + b * b, 1e-30)
+
+
+def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
+                sensor, max_depth: int = 8, rr_depth: int = 3,
+                rr_floor: float = 0.5, eps: float = 1e-5,
+                mis: bool = True):
+    """Trace one batch of backward paths.
+
+    data: SceneData. pixel_xy (N, 2) i32; jitter (N, 2); sample_ids (N,).
+    Returns (pos (N,2) splat positions, values (N,C), valid (N,)).
+    """
+    geo = data.geo
+    tables = data.tables
+    et = data.emitters
+    sp = data.spectral
+    N = pixel_xy.shape[0]
+
+    pixel_id = pixel_xy[:, 1] * sensor.width + pixel_xy[:, 0]
+    keys = rng.sample_key(base_key, pixel_id, sample_ids)
+
+    # --- spectral sampling: (emitter, k) ~ products; weight = 1/marginal
+    u_spec = rng.uniform(keys, rng.D_SPECTRUM, 2)
+    e0, _ = sp.sample_emitter(u_spec[:, 0])
+    k, _ = sp.sample_k(e0, u_spec[:, 1])
+    p_k = sp.joint_spectral_density(k)
+    w_spectral = 1.0 / jnp.maximum(p_k, 1e-30)
+
+    # --- camera ray
+    ro, rd, _tan_alpha = sensor.generate_rays(pixel_xy, jitter)
+    splat_pos = pixel_xy.astype(jnp.float32) + jitter
+
+    M0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4)) \
+        * sensor.importance()
+
+    state = dict(
+        ro=ro, rd=rd,
+        M=M0,
+        L=jnp.zeros((N,), jnp.float32),
+        active=jnp.ones((N,), bool),
+        exclude=jnp.full((N,), -1, jnp.int32),
+        prev_pdf=jnp.zeros((N,), jnp.float32),
+        prev_specular=jnp.ones((N,), bool),   # depth 0 counts as specular
+    )
+
+    def contribution(M, Li):
+        """Intensity reaching the sensor for unpolarized light Li."""
+        S = stokes.unpolarized(Li)
+        return jnp.einsum("nij,nj->ni", M, S)[:, 0]
+
+    def body(depth, st):
+        dkeys = rng.depth_key(keys, depth)
+
+        t, tri, u, v = trace_mod.trace(geo, st["ro"], st["rd"],
+                                       jnp.full((N,), eps),
+                                       jnp.full((N,), BIG), st["exclude"])
+        hit = trace_mod.hit_attributes(geo, st["ro"], st["rd"], t, tri, u, v)
+        lane = st["active"] & hit.valid
+
+        # shading frame
+        sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
+        wi = -st["rd"]
+        wi_l = sf.to_local(wi)
+
+        # --- emission (hit an area emitter from the front)
+        cos_out = vec.dot(wi, hit.geo_n)
+        Le = etab.emission_radiance(et, tables.spectra, hit.emitter_id, k,
+                                    cos_out)
+        d2 = jnp.maximum(hit.t, 1e-9) ** 2
+        pdf_nee_same = etab.pdf_direct_solid_angle(
+            et, hit.emitter_id, d2, cos_out) \
+            * _emitter_pmf(et, hit.emitter_id)
+        w_mis_e = jnp.where(st["prev_specular"] | (~jnp.asarray(mis)),
+                            1.0,
+                            _power_heuristic(st["prev_pdf"], pdf_nee_same))
+        L = st["L"] + jnp.where(lane & (Le > 0),
+                                w_mis_e * contribution(st["M"], Le), 0.0)
+
+        # --- NEE
+        u_pick = rng.uniform(dkeys, rng.D_EMITTER_PICK)
+        e_n, pmf_n = _sample_emitter_by_power(et, u_pick)
+        u_nee = rng.uniform(dkeys, rng.D_NEE, 3)
+        nee = etab.sample_direct(et, geo, tables.spectra, e_n, hit.p, k,
+                                 u_nee)
+        wo_nee_l = sf.to_local(nee["wo"])
+        f_nee, pdf_b_nee = bsdf_dev.eval_f(tables, hit.mat_id, wi_l,
+                                           wo_nee_l, hit.uv, k)
+        occ = trace_mod.occluded(geo, hit.p, nee["wo"],
+                                 jnp.full((N,), eps),
+                                 nee["dist"] - 2.0 * eps,
+                                 hit.tri, nee["tri"])
+        pdf_nee = pmf_n * nee["pdf_sa"]
+        w_mis_n = jnp.where(nee["delta_dir"] | (~jnp.asarray(mis)), 1.0,
+                            _power_heuristic(pdf_nee, pdf_b_nee))
+        M_nee = jnp.einsum("nij,njk->nik", st["M"], f_nee)
+        c_nee = contribution(M_nee, nee["Li"]) / jnp.maximum(pdf_nee, 1e-30)
+        ok_nee = lane & nee["valid"] & (~occ) & (pdf_nee > 0) \
+            & (f_nee[:, 0, 0] > 0)
+        L = L + jnp.where(ok_nee, w_mis_n * c_nee, 0.0)
+
+        # --- BSDF sampling / continuation
+        u_b = jnp.concatenate([
+            rng.uniform(dkeys, rng.D_BSDF_LOBE, 2),
+            rng.uniform(dkeys, rng.D_BSDF_DIR, 2)], axis=-1)
+        bs = bsdf_dev.sample(tables, hit.mat_id, wi_l, hit.uv, k, u_b)
+        wo_w = sf.to_world(bs.wo)
+        M_next = jnp.einsum("nij,njk->nik", st["M"], bs.Mw)
+
+        # --- russian roulette (plt_path_detail.hpp:123-142: floor .5)
+        u_rr = rng.uniform(dkeys, rng.D_RR)
+        beta = jnp.abs(M_next[:, 0, 0])
+        q = jnp.clip(beta, rr_floor, 1.0)
+        do_rr = depth >= rr_depth
+        survive = jnp.where(do_rr, u_rr < q, True)
+        M_next = M_next / jnp.where(do_rr, q, 1.0)[:, None, None]
+
+        active = lane & bs.valid & survive & (beta > 1e-9)
+        return dict(
+            ro=jnp.where(active[:, None], hit.p, st["ro"]),
+            rd=jnp.where(active[:, None], wo_w, st["rd"]),
+            M=jnp.where(active[:, None, None], M_next, st["M"]),
+            L=L,
+            active=active,
+            exclude=jnp.where(active, hit.tri, st["exclude"]),
+            prev_pdf=jnp.where(active, bs.pdf, st["prev_pdf"]),
+            prev_specular=jnp.where(active, bs.specular,
+                                    st["prev_specular"]),
+        )
+
+    state = jax.lax.fori_loop(0, max_depth, body, state)
+
+    # response-weighted channel values
+    sens = sensor.response.sensitivities(k, tables.spectra, None)
+    values = (state["L"] * w_spectral)[:, None] * sens
+    return splat_pos, values, jnp.ones((N,), bool)
+
+
+def _emitter_pmf(et, emitter_id):
+    tot = jnp.maximum(et.power.sum(), 1e-30)
+    eid = jnp.maximum(emitter_id, 0)
+    return jnp.where(emitter_id >= 0, et.power[eid] / tot, 0.0)
+
+
+def _sample_emitter_by_power(et, u):
+    cdf = jnp.cumsum(et.power)
+    tot = jnp.maximum(cdf[-1], 1e-30)
+    e = jnp.clip(jnp.searchsorted(cdf / tot, u, side="right"), 0,
+                 et.count - 1).astype(jnp.int32)
+    return e, et.power[e] / tot
