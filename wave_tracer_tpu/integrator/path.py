@@ -34,6 +34,36 @@ def _power_heuristic(a, b):
     return a2 / jnp.maximum(a2 + b * b, 1e-30)
 
 
+def _perp_axis(d):
+    """Any unit vector ⊥ d (for degenerate scattering planes)."""
+    from wave_tracer_tpu.math import frame as _f
+    return _f.build_orthogonal_frame(d).t
+
+
+def compose_scatter(M_old, x_old, d_out, M_b, d_in):
+    """Frame-aware Mueller composition at a scatter vertex.
+
+    The BSDF operator M_b is expressed in the S/P basis of the scattering
+    plane (spanned by the incoming light propagation d_in and outgoing
+    d_out, both world-space unit vectors; light flows d_in → d_out toward
+    the sensor). M_old expects its input Stokes with transverse x-axis
+    x_old ⊥ d_out. Returns (M_new, x_new): the composed operator and its
+    input frame axis (⊥ d_in). Mirrors the reference's frame-aware Mueller
+    application (reference include/wt/interaction/polarimetric/
+    mueller.hpp M(S, frames...)).
+    """
+    from wave_tracer_tpu.polarization import mueller
+    s_axis = jnp.cross(d_in, d_out)
+    slen = jnp.linalg.norm(s_axis, axis=-1, keepdims=True)
+    degen = slen[..., 0] < 1e-7
+    s_axis = jnp.where(degen[..., None], _perp_axis(d_out),
+                       s_axis / jnp.maximum(slen, 1e-12))
+    theta = stokes.rotation_angle(s_axis, x_old, d_out)
+    R = mueller.rotation(theta)
+    M_new = jnp.einsum("nij,njk,nkl->nil", M_old, R, M_b)
+    return M_new, s_axis
+
+
 def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
                 sensor, max_depth: int = 8, rr_depth: int = 3,
                 rr_floor: float = 0.5, eps: float = 1e-5,
@@ -69,6 +99,7 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
     state = dict(
         ro=ro, rd=rd,
         M=M0,
+        xf=_perp_axis(-rd),    # transverse x-axis of M's input frame
         L=jnp.zeros((N,), jnp.float32),
         active=jnp.ones((N,), bool),
         exclude=jnp.full((N,), -1, jnp.int32),
@@ -125,7 +156,8 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
         pdf_nee = pmf_n * nee["pdf_sa"]
         w_mis_n = jnp.where(nee["delta_dir"] | (~jnp.asarray(mis)), 1.0,
                             _power_heuristic(pdf_nee, pdf_b_nee))
-        M_nee = jnp.einsum("nij,njk->nik", st["M"], f_nee)
+        M_nee, _ = compose_scatter(st["M"], st["xf"], -st["rd"], f_nee,
+                                   -nee["wo"])
         c_nee = contribution(M_nee, nee["Li"]) / jnp.maximum(pdf_nee, 1e-30)
         ok_nee = lane & nee["valid"] & (~occ) & (pdf_nee > 0) \
             & (f_nee[:, 0, 0] > 0)
@@ -137,7 +169,8 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
             rng.uniform(dkeys, rng.D_BSDF_DIR, 2)], axis=-1)
         bs = bsdf_dev.sample(tables, hit.mat_id, wi_l, hit.uv, k, u_b)
         wo_w = sf.to_world(bs.wo)
-        M_next = jnp.einsum("nij,njk->nik", st["M"], bs.Mw)
+        M_next, xf_next = compose_scatter(st["M"], st["xf"], -st["rd"],
+                                          bs.Mw, -wo_w)
 
         # --- russian roulette (plt_path_detail.hpp:123-142: floor .5)
         u_rr = rng.uniform(dkeys, rng.D_RR)
@@ -152,6 +185,7 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
             ro=jnp.where(active[:, None], hit.p, st["ro"]),
             rd=jnp.where(active[:, None], wo_w, st["rd"]),
             M=jnp.where(active[:, None, None], M_next, st["M"]),
+            xf=jnp.where(active[:, None], xf_next, st["xf"]),
             L=L,
             active=active,
             exclude=jnp.where(active, hit.tri, st["exclude"]),

@@ -71,7 +71,7 @@ def _collect(scene: Scene):
             add_spec(getattr(t, "scale_spectrum", None))
 
     def add_mat(m):
-        if m is None or m in materials:
+        if m is None or any(m is x for x in materials):
             return
         materials.append(m)
         b = m.bsdf
