@@ -1,0 +1,55 @@
+"""Benchmark: cornell-box backward wave-path throughput (beams/s/chip).
+
+Run by the driver on real TPU hardware; prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numeric throughput (BASELINE.md) — its only
+statement is that wave tracing costs ~5-20x classical ray tracing on a
+powerful CPU node. As the comparable baseline we take 100k paths/s for a
+CPU node running the reference (mid-range estimate from its published
+slowdown factor over typical embree-class CPU ray tracing of ~1-2M rays/s
+on such scenes); vs_baseline = value / 100_000.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_PATHS_PER_SEC = 100_000.0
+
+
+def main():
+    import numpy as np
+
+    from wave_tracer_tpu.render import render_scene
+    from wave_tracer_tpu.scene import build_scene
+    from wave_tracer_tpu.scene.xml import load_scene_xml
+
+    scene_path = "/root/reference/scenes/cornell-box/box.xml"
+    if os.path.isfile(scene_path):
+        scene = load_scene_xml(scene_path, {"res": "256", "spp": "16"})
+    else:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+        from test_render import make_box_scene
+        scene = make_box_scene(res=256, spp=16)
+    scene.integrator.max_depth = 8
+    built = build_scene(scene)
+
+    # warmup (compile) on a small slice, then timed run
+    img, stats = render_scene(built, spp=2, batch_lanes=1 << 17)
+    t0 = time.time()
+    img, stats = render_scene(built, spp=16, batch_lanes=1 << 17)
+    assert np.isfinite(img).all()
+
+    value = stats["paths_per_sec"]
+    print(json.dumps({
+        "metric": "beams_per_sec_cornell_box_bwd",
+        "value": round(value, 1),
+        "unit": "beams/s/chip",
+        "vs_baseline": round(value / BASELINE_PATHS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

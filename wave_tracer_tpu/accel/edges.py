@@ -1,0 +1,249 @@
+"""Edge extraction & classification for free-space diffraction.
+
+Build-time equivalent of reference include/wt/ads/edge_classification.hpp:
+31-238: find triangle pairs sharing two vertices, build wedge records
+carrying both outward face normals, the edge tangent and the wedge angle
+α = π − acos(n1·n2); discard near-planar wedges (α > 160° between faces —
+i.e. faces nearly coplanar); boundary edges (single face) get n2 = −n1.
+
+Host-side this is a vectorized hash join over quantized vertex positions
+(the reference ball-queries the ADS per triangle; a hash join is the
+array-sized equivalent). The result is a flat device table the wavefront
+integrator queries for edges inside a beam's interaction footprint.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+# keep wedges with interior angle at most this (reference
+# edge_classification.hpp: discards α>160° near-planar wedges)
+PLANAR_ANGLE_DEG = 160.0
+
+
+@struct.dataclass
+class EdgeTable:
+    p0: jnp.ndarray       # (E, 3) edge endpoint
+    p1: jnp.ndarray       # (E, 3)
+    e: jnp.ndarray        # (E, 3) unit edge direction p0→p1
+    n1: jnp.ndarray       # (E, 3) face-1 outward wedge normal
+    n2: jnp.ndarray       # (E, 3) face-2 outward normal (−n1 for boundary)
+    t1: jnp.ndarray       # (E, 3) face-1 tangent (⊥ e, pointing into face)
+    t2: jnp.ndarray       # (E, 3) face-2 tangent
+    alpha: jnp.ndarray    # (E,) wedge opening angle
+    length: jnp.ndarray   # (E,)
+    center: jnp.ndarray   # (E, 3)
+    tri1: jnp.ndarray     # (E,) i32 face-1 triangle (device order)
+    tri2: jnp.ndarray     # (E,) i32 (−1 boundary)
+
+    @property
+    def count(self):
+        return self.p0.shape[0]
+
+
+def classify_edges(positions: np.ndarray, geo_n: np.ndarray,
+                   quant: float = 1e-6) -> EdgeTable:
+    """positions (T, 3, 3) and geometric normals (T, 3) in DEVICE order."""
+    T = len(positions)
+    if T == 0:
+        return _empty()
+
+    scale = max(np.abs(positions).max(), 1.0)
+    q = quant * scale
+    keys = np.round(positions / q).astype(np.int64)       # (T, 3, 3)
+
+    # every triangle edge: (vertex a, vertex b) with a sorted key pair
+    ea = np.concatenate([keys[:, 0], keys[:, 1], keys[:, 2]])
+    eb = np.concatenate([keys[:, 1], keys[:, 2], keys[:, 0]])
+    pa = np.concatenate([positions[:, 0], positions[:, 1], positions[:, 2]])
+    pb = np.concatenate([positions[:, 1], positions[:, 2], positions[:, 0]])
+    tri_idx = np.concatenate([np.arange(T)] * 3)
+
+    # canonical (sorted) key per edge for the join
+    flip = _lexless(eb, ea)
+    ka = np.where(flip[:, None], eb, ea)
+    kb = np.where(flip[:, None], ea, eb)
+    key = np.concatenate([ka, kb], axis=1)               # (3T, 6)
+
+    order = np.lexsort(key.T[::-1])
+    key_s = key[order]
+    tri_s = tri_idx[order]
+    pa_s = pa[order]
+    pb_s = pb[order]
+
+    same = np.all(key_s[1:] == key_s[:-1], axis=1)
+    # group runs of identical keys; count 1 = boundary, 2 = interior wedge,
+    # >2 = non-manifold (dropped, as in the reference's 2-tri pairing)
+    starts = np.concatenate([[0], np.nonzero(~same)[0] + 1])
+    counts = np.diff(np.concatenate([starts, [len(key_s)]]))
+
+    p0_list, p1_list, n1_list, n2_list = [], [], [], []
+    t1_list, t2_list = [], []
+    g2 = counts == 2
+    g1 = counts == 1
+    s2 = starts[g2]
+    s1 = starts[g1]
+
+    # interior edges (exactly two faces)
+    if len(s2):
+        tA = tri_s[s2]
+        tB = tri_s[s2 + 1]
+        p0_list.append(pa_s[s2])
+        p1_list.append(pb_s[s2])
+        n1_list.append(geo_n[tA])
+        n2_list.append(geo_n[tB])
+        t1_list.append(tA)
+        t2_list.append(tB)
+    # boundary edges
+    if len(s1):
+        tA = tri_s[s1]
+        p0_list.append(pa_s[s1])
+        p1_list.append(pb_s[s1])
+        n1_list.append(geo_n[tA])
+        n2_list.append(-geo_n[tA])
+        t1_list.append(tA)
+        t2_list.append(np.full(len(s1), -1, np.int64))
+
+    if not p0_list:
+        return _empty()
+    p0 = np.concatenate(p0_list)
+    p1 = np.concatenate(p1_list)
+    n1 = np.concatenate(n1_list)
+    n2 = np.concatenate(n2_list)
+    tA = np.concatenate(t1_list)
+    tB = np.concatenate(t2_list)
+
+    d = p1 - p0
+    length = np.linalg.norm(d, axis=-1)
+    ok = length > 1e-12
+    p0, p1, n1, n2, tA, tB, d, length = (
+        a[ok] for a in (p0, p1, n1, n2, tA, tB, d, length))
+    if len(p0) == 0:
+        return _empty()
+    e = d / length[:, None]
+    m = 0.5 * (p0 + p1)
+    cent = positions.mean(axis=1)
+    interior = tB >= 0
+    c1 = cent[tA]
+    c2 = cent[np.where(interior, tB, tA)]
+
+    # concave wedges: flip both normals outwards; inconsistent pairs drop
+    # (reference edge_classification.hpp edge_for:44-57)
+    concave1 = np.sum(n1 * (c2 - m), axis=-1) > 0
+    concave2 = np.sum(n2 * (c1 - m), axis=-1) > 0
+    inconsistent = interior & (concave1 != concave2)
+    flip = interior & concave1 & concave2
+    n1 = np.where(flip[:, None], -n1, n1)
+    n2 = np.where(flip[:, None], -n2, n2)
+
+    # face tangents ⊥ edge, pointing into each face (:58-66)
+    t1v = np.cross(n1, e)
+    t1v = np.where((np.sum(t1v * (c1 - m), axis=-1) < 0)[:, None],
+                   -t1v, t1v)
+    t2v = np.cross(n2, e)
+    t2v = np.where((np.sum(t2v * (c2 - m), axis=-1) < 0)[:, None],
+                   -t2v, t2v)
+    t2v = np.where(interior[:, None], t2v, t1v)
+
+    # wedge angle; drop near-planar interior wedges
+    cosn = np.clip(np.sum(n1 * n2, axis=-1), -1.0, 1.0)
+    face_angle = np.degrees(np.arccos(cosn))   # 0 = coplanar faces
+    keep = (~interior | (face_angle > (180.0 - PLANAR_ANGLE_DEG))) \
+        & ~inconsistent
+    alpha = np.maximum(0.0, math.pi - np.arccos(cosn))
+
+    (p0, p1, n1, n2, t1v, t2v, tA, tB, alpha, e, length) = (
+        a[keep] for a in (p0, p1, n1, n2, t1v, t2v, tA, tB, alpha, e,
+                          length))
+    if len(p0) == 0:
+        return _empty()
+    return EdgeTable(
+        p0=jnp.asarray(p0, jnp.float32), p1=jnp.asarray(p1, jnp.float32),
+        e=jnp.asarray(e, jnp.float32),
+        n1=jnp.asarray(n1, jnp.float32), n2=jnp.asarray(n2, jnp.float32),
+        t1=jnp.asarray(t1v, jnp.float32), t2=jnp.asarray(t2v, jnp.float32),
+        alpha=jnp.asarray(alpha, jnp.float32),
+        length=jnp.asarray(length, jnp.float32),
+        center=jnp.asarray(0.5 * (p0 + p1), jnp.float32),
+        tri1=jnp.asarray(tA, jnp.int32), tri2=jnp.asarray(tB, jnp.int32))
+
+
+def _lexless(a, b):
+    """Lexicographic a < b over last axis (3 ints)."""
+    lt = a[:, 0] < b[:, 0]
+    eq0 = a[:, 0] == b[:, 0]
+    lt1 = a[:, 1] < b[:, 1]
+    eq1 = a[:, 1] == b[:, 1]
+    lt2 = a[:, 2] < b[:, 2]
+    return lt | (eq0 & (lt1 | (eq1 & lt2)))
+
+
+def _empty() -> EdgeTable:
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    z = jnp.zeros((0,), jnp.float32)
+    zi = jnp.zeros((0,), jnp.int32)
+    return EdgeTable(p0=z3, p1=z3, e=z3, n1=z3, n2=z3, t1=z3, t2=z3,
+                     alpha=z, length=z, center=z3, tri1=zi, tri2=zi)
+
+
+# ---------------------------------------------------------------------------
+# device queries
+# ---------------------------------------------------------------------------
+
+def edges_in_ball(edges: EdgeTable, center, radius, K: int,
+                  tile: int = 1024):
+    """Top-K nearest edges whose segment intersects the ball
+    (center (N,3), radius (N,)). Returns (idx (N,K) i32 with −1 padding,
+    dist (N,K), count (N,)).
+
+    Tiled brute-force over the edge table — dense VPU work instead of the
+    reference's per-thread BVH ball queries (src/ads/bvh8w.cpp:610-736).
+    """
+    E = edges.count
+    N = center.shape[0]
+    if E == 0:
+        return (jnp.full((N, K), -1, jnp.int32), jnp.full((N, K), jnp.inf),
+                jnp.zeros((N,), jnp.int32))
+    import jax
+
+    EP = max(tile, ((E + tile - 1) // tile) * tile)
+    pad = EP - E
+    p0 = jnp.pad(edges.p0, ((0, pad), (0, 0)))
+    d = jnp.pad(edges.p1 - edges.p0, ((0, pad), (0, 0)))
+    ll = jnp.pad(edges.length, (0, pad))
+
+    def seg_dist(c, s):
+        """Distance from points c (N,3) to segment tile s.. (tile,)."""
+        tp0 = jax.lax.dynamic_slice(p0, (s, 0), (tile, 3))
+        td = jax.lax.dynamic_slice(d, (s, 0), (tile, 3))
+        tl = jax.lax.dynamic_slice(ll, (s,), (tile,))
+        w = c[:, None, :] - tp0[None]                  # (N, tile, 3)
+        t_par = jnp.sum(w * td[None], axis=-1) \
+            / jnp.maximum(tl * tl, 1e-30)[None]
+        t_par = jnp.clip(t_par, 0.0, 1.0)
+        q = tp0[None] + t_par[..., None] * td[None]
+        return jnp.linalg.norm(c[:, None, :] - q, axis=-1)
+
+    def body(ci, carry):
+        bdist, bidx = carry
+        s = ci * tile
+        dist = seg_dist(center, s)
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        dist = jnp.where((ids < E) & (dist <= radius[:, None]), dist,
+                         jnp.inf)
+        # merge tile hits into running top-K (concat + top_k)
+        cat_d = jnp.concatenate([bdist, dist], axis=1)
+        cat_i = jnp.concatenate([bidx, jnp.broadcast_to(ids, dist.shape)],
+                                axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, K)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((N, K), jnp.inf), jnp.full((N, K), -1, jnp.int32))
+    bdist, bidx = jax.lax.fori_loop(0, EP // tile, body, init)
+    valid = jnp.isfinite(bdist)
+    bidx = jnp.where(valid, bidx, -1)
+    return bidx, bdist, valid.sum(axis=1).astype(jnp.int32)

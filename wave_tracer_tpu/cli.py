@@ -1,0 +1,123 @@
+"""Command-line frontend: `python -m wave_tracer_tpu render scene.xml`.
+
+Mirrors the reference CLI surface (reference src/main.cpp:785-973):
+subcommands `render` and `version`; options for output dir, `-D`
+defines, `--mesh_scale`, spp override, verbosity, stats. Output per
+sensor: linear EXR + tonemapped PNG (src/main.cpp:404-482).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+__version__ = "0.1.0"
+
+
+def parse_defines(pairs):
+    out = {}
+    for p in pairs or []:
+        for item in p.split(","):
+            if not item:
+                continue
+            if "=" not in item:
+                raise SystemExit(f"bad define {item!r}; expected name=value")
+            k, v = item.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
+def cmd_render(args):
+    from wave_tracer_tpu.render import render_scene
+    from wave_tracer_tpu.render.output import write_exr, write_png
+    from wave_tracer_tpu.scene import build_scene
+    from wave_tracer_tpu.scene.xml import load_scene_xml
+    from wave_tracer_tpu.sensor.tonemap import Tonemap, srgb_encode
+
+    t0 = time.time()
+    defines = parse_defines(args.define)
+    scene = load_scene_xml(args.scene, defines,
+                           mesh_scale=args.mesh_scale)
+    print(f"[wave_tracer_tpu] loaded '{os.path.basename(args.scene)}': "
+          f"{len(scene.shapes)} shapes, {len(scene.emitters)} emitters, "
+          f"{len(scene.sensors)} sensors")
+    built = build_scene(scene)
+    ntris = built.data.geo.num_tris
+    print(f"[wave_tracer_tpu] scene built: {ntris} triangles, "
+          f"BVH depth {built.bvh.depth()} ({time.time() - t0:.1f}s)")
+
+    outdir = args.output or "."
+    os.makedirs(outdir, exist_ok=True)
+    stats_all = []
+    for si, sensor in enumerate(scene.sensors):
+        spp = args.spp or sensor.samples
+
+        def progress(done, total):
+            print(f"\r[wave_tracer_tpu] sensor {si} ({sensor.id}): "
+                  f"{done}/{total} spp", end="", flush=True)
+
+        img, stats = render_scene(built, sensor_index=si, spp=spp,
+                                  batch_lanes=args.batch_lanes,
+                                  seed=args.seed, progress=progress)
+        print()
+        stats_all.append(stats)
+        resp = sensor.response
+        base = os.path.join(outdir, sensor.id or f"sensor{si}")
+
+        M = resp.develop_matrix()
+        rgb = img @ M.T if M is not None else img
+        meta = {"renderer": f"wave_tracer_tpu {__version__}",
+                "scene": os.path.basename(args.scene),
+                "sensor": sensor.id, "spp": str(spp)}
+        write_exr(base + ".exr", rgb.astype(np.float32), metadata=meta)
+        tm = resp.tonemap or Tonemap(type="sRGB")
+        if tm.type in ("linear", "sRGB", "gamma") and rgb.shape[-1] == 3:
+            scale = 1.0 / max(np.percentile(rgb, 99.9), 1e-30)
+            png = srgb_encode(np.clip(rgb * scale, 0, 1))
+        else:
+            png = tm.apply(rgb)
+        write_png(base + ".png", png)
+        print(f"[wave_tracer_tpu] wrote {base}.exr / .png  "
+              f"({stats['paths']} paths, "
+              f"{stats['paths_per_sec']:.0f} paths/s)")
+    if args.write_stats:
+        with open(os.path.join(outdir, "perf_stats.json"), "w") as f:
+            json.dump(stats_all, f, indent=2)
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="wave_tracer_tpu",
+        description="TPU-native wave-optical path tracer")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("version", help="print version")
+
+    rp = sub.add_parser("render", help="render a scene XML")
+    rp.add_argument("scene")
+    rp.add_argument("-o", "--output", help="output directory")
+    rp.add_argument("-D", "--define", action="append",
+                    help="scene define name=value[,name=value...]")
+    rp.add_argument("--spp", type=int, help="override samples per pixel")
+    rp.add_argument("--mesh_scale", type=float, default=1.0)
+    rp.add_argument("--batch_lanes", type=int, default=1 << 17)
+    rp.add_argument("--seed", type=int, default=0)
+    rp.add_argument("--write-stats", action="store_true")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "version":
+        print(f"wave_tracer_tpu {__version__}")
+        return 0
+    if args.cmd == "render":
+        return cmd_render(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
