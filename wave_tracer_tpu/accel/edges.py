@@ -247,3 +247,70 @@ def edges_in_ball(edges: EdgeTable, center, radius, K: int,
     valid = jnp.isfinite(bdist)
     bidx = jnp.where(valid, bidx, -1)
     return bidx, bdist, valid.sum(axis=1).astype(jnp.int32)
+
+
+def edges_near_ray(edges: EdgeTable, ro, rd, x0, tan_alpha, zmax, K: int,
+                   tile: int = 1024):
+    """Edges inside the swept cone envelope of a ray segment.
+
+    For each lane: edges whose segment comes within radius(z) = x0 +
+    tanα·z of the ray at ray-parameter z ∈ (0, zmax). Returns
+    (idx (N, K) −1-padded, z (N, K) ray parameter of closest approach,
+    count (N,)), ordered by ascending z — the earliest encounter first.
+
+    This is the ray-mode analogue of the reference's cone traversal edge
+    accumulation (src/ads/bvh8w.cpp cone mode + plt_path ballistic edge
+    search, plt_path_detail.hpp:657-660).
+    """
+    E = edges.count
+    N = ro.shape[0]
+    if E == 0:
+        return (jnp.full((N, K), -1, jnp.int32),
+                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    import jax
+
+    EP = max(tile, ((E + tile - 1) // tile) * tile)
+    pad = EP - E
+    p0 = jnp.pad(edges.p0, ((0, pad), (0, 0)))
+    ed = jnp.pad(edges.p1 - edges.p0, ((0, pad), (0, 0)))
+    el = jnp.pad(edges.length, (0, pad))
+
+    def body(ci, carry):
+        bz, bidx = carry
+        s = ci * tile
+        tp0 = jax.lax.dynamic_slice(p0, (s, 0), (tile, 3))
+        td = jax.lax.dynamic_slice(ed, (s, 0), (tile, 3))
+        tl = jax.lax.dynamic_slice(el, (s,), (tile,))
+        # closest points between ray (ro, rd) and segments (tp0, td):
+        # minimize |ro + z rd − tp0 − u td|², z ≥ 0, u ∈ [0, l²-normalized]
+        w0 = ro[:, None, :] - tp0[None]               # (N, T, 3)
+        a = 1.0                                        # rd·rd
+        b = jnp.sum(rd[:, None, :] * td[None], axis=-1)
+        c = jnp.maximum(tl * tl, 1e-30)[None]
+        ddot = jnp.sum(rd[:, None, :] * w0, axis=-1)
+        edot = jnp.sum(td[None] * w0, axis=-1)
+        denom = a * c - b * b
+        u = jnp.clip((b * -ddot + a * edot)
+                     / jnp.where(denom < 1e-20, 1e-20, denom), 0.0, 1.0)
+        z = jnp.maximum(-ddot + b * u, 0.0)
+        # recompute u for the clamped z
+        u = jnp.clip((z * b + edot) / c, 0.0, 1.0)
+        q = tp0[None] + u[..., None] * td[None]
+        pr = ro[:, None, :] + z[..., None] * rd[:, None, :]
+        dist = jnp.linalg.norm(pr - q, axis=-1)
+        radius = x0[:, None] + tan_alpha[:, None] * z
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ok = (ids < E) & (dist <= radius) & (z > 1e-7) \
+            & (z < zmax[:, None])
+        zk = jnp.where(ok, z, jnp.inf)
+        cat_z = jnp.concatenate([bz, zk], axis=1)
+        cat_i = jnp.concatenate([bidx, jnp.broadcast_to(ids, zk.shape)],
+                                axis=1)
+        neg, sel = jax.lax.top_k(-cat_z, K)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((N, K), jnp.inf), jnp.full((N, K), -1, jnp.int32))
+    bz, bidx = jax.lax.fori_loop(0, EP // tile, body, init)
+    valid = jnp.isfinite(bz)
+    bidx = jnp.where(valid, bidx, -1)
+    return bidx, bz, valid.sum(axis=1).astype(jnp.int32)

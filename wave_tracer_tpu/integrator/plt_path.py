@@ -1,0 +1,340 @@
+"""plt_path — wave-optical backward transport, wavefront over beam lanes.
+
+The TPU re-design of reference include/wt/integrator/plt_path/
+plt_path_detail.hpp:543-801. Each lane carries a full beam: elliptic-cone
+envelope (isotropic approximation of the cross-section for traversal),
+Mueller throughput operator, spectral state (one wavenumber), and the
+deferred free-space-diffraction carry — the previous vertex's aperture
+plus the pre-interaction Mueller operator, superposed one bounce later
+exactly as the reference's two-beam carry (plt_path_detail.hpp:591-610).
+
+Per bounce: trace → sweep edges inside the beam envelope (ballistic edge
+search, :657-660) → evaluate deferred coherent UTD sum (with per-edge
+shadow tests) → emission MIS → NEE → interaction (surface | FSD | null) →
+build the next deferred aperture → RR.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from wave_tracer_tpu.accel import edges as edges_mod
+from wave_tracer_tpu.accel import trace as trace_mod
+from wave_tracer_tpu.bsdf import device as bsdf_dev
+from wave_tracer_tpu.emitter import table as etab
+from wave_tracer_tpu.integrator.path import (_emitter_pmf, _perp_axis,
+                                             _power_heuristic,
+                                             _sample_emitter_by_power,
+                                             compose_scatter)
+from wave_tracer_tpu.math import frame as frame_mod
+from wave_tracer_tpu.math import vec
+from wave_tracer_tpu.polarization import stokes
+from wave_tracer_tpu.sampling import rng
+from wave_tracer_tpu.wave import beam as beam_geo
+from wave_tracer_tpu.wave import fsd as fsd_mod
+
+BIG = 1e30
+# z-extent of the interaction region relative to the footprint major axis
+# (reference beam_generic.hpp:50 footprint z = 2×major axis)
+Z_SCALE = 2.0
+
+
+def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
+                     sensor, edge_table, max_depth: int = 8,
+                     rr_depth: int = 3, rr_floor: float = 0.5,
+                     eps: float = 1e-5, mis: bool = True, fsd: bool = True,
+                     K: int = 8):
+    """Wave-mode path batch. Returns (splat_pos, values, valid)."""
+    geo = data.geo
+    tables = data.tables
+    et = data.emitters
+    sp = data.spectral
+    N = pixel_xy.shape[0]
+
+    pixel_id = pixel_xy[:, 1] * sensor.width + pixel_xy[:, 0]
+    keys = rng.sample_key(base_key, pixel_id, sample_ids)
+
+    u_spec = rng.uniform(keys, rng.D_SPECTRUM, 2)
+    e0, _ = sp.sample_emitter(u_spec[:, 0])
+    k, _ = sp.sample_k(e0, u_spec[:, 1])
+    p_k = sp.joint_spectral_density(k)
+    w_spectral = 1.0 / jnp.maximum(p_k, 1e-30)
+
+    ro, rd, pixel_tan_alpha = sensor.generate_rays(pixel_xy, jitter)
+    splat_pos = pixel_xy.astype(jnp.float32) + jitter
+
+    M0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4)) \
+        * sensor.importance()
+
+    state = dict(
+        ro=ro, rd=rd, M=M0,
+        xf=_perp_axis(-rd),
+        L=jnp.zeros((N,), jnp.float32),
+        active=jnp.ones((N,), bool),
+        exclude=jnp.full((N,), -1, jnp.int32),
+        prev_pdf=jnp.zeros((N,), jnp.float32),
+        prev_specular=jnp.ones((N,), bool),
+        # beam envelope (isotropic): radius(z) = x0 + tanα·z
+        env_x0=jnp.zeros((N,), jnp.float32),
+        env_ta=jnp.full((N,), 0.5 * pixel_tan_alpha, jnp.float32),
+        # deferred FSD carry
+        fsd_ap=fsd_mod.empty_aperture(N, K),
+        fsd_valid=jnp.zeros((N,), bool),
+        sampled_fsd=jnp.zeros((N,), bool),
+        prev_vert=ro,
+        M_prev=M0,
+        prev_env_x0=jnp.zeros((N,), jnp.float32),
+        prev_env_ta=jnp.zeros((N,), jnp.float32),
+    )
+
+    def contribution(M, Li):
+        S = stokes.unpolarized(Li)
+        return jnp.einsum("nij,nj->ni", M, S)[:, 0]
+
+    def shadow_pt(a, b, ex1, ex2):
+        """Occlusion between two points (both (N, 3))."""
+        d = b - a
+        dist = jnp.linalg.norm(d, axis=-1)
+        dn = d / jnp.maximum(dist, 1e-20)[:, None]
+        return trace_mod.occluded(geo, a, dn, jnp.full((N,), eps),
+                                  dist - 2.0 * eps, ex1, ex2)
+
+    def body(depth, st):
+        dkeys = rng.depth_key(keys, depth)
+
+        t, tri, u, v = trace_mod.trace(geo, st["ro"], st["rd"],
+                                       jnp.full((N,), eps),
+                                       jnp.full((N,), BIG), st["exclude"])
+        hit = trace_mod.hit_attributes(geo, st["ro"], st["rd"], t, tri, u,
+                                       v)
+        lane = st["active"]
+        hit_ok = lane & hit.valid
+
+        # ---- edge sweep inside the beam envelope
+        zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"], 4.0)
+        if fsd and edge_table.count > 0:
+            eidx, ez, ecnt = edges_mod.edges_near_ray(
+                edge_table, st["ro"], st["rd"], st["env_x0"],
+                st["env_ta"], zmax, K)
+        else:
+            eidx = jnp.full((N, K), -1, jnp.int32)
+            ez = jnp.full((N, K), jnp.inf)
+            ecnt = jnp.zeros((N,), jnp.int32)
+
+        have_edges = ecnt > 0
+        z_first = jnp.where(have_edges, jnp.min(ez, axis=1), BIG)
+        # footprint region half-depth at the relevant distance
+        fp_hit = st["env_x0"] + st["env_ta"] * jnp.where(hit.valid, hit.t,
+                                                         0.0)
+        delta_hit = jnp.maximum(Z_SCALE * fp_hit, 4.0 * eps)
+        # does the earliest edge cluster precede the surface hit?
+        midflight = have_edges & (z_first < jnp.where(hit.valid,
+                                                      hit.t - delta_hit,
+                                                      BIG))
+        surface = hit_ok & ~midflight
+        # interaction point
+        z_int = jnp.where(surface, hit.t, z_first)
+        has_interaction = lane & (surface | midflight)
+        wp = st["ro"] + z_int[:, None] * st["rd"]
+        fp_int = st["env_x0"] + st["env_ta"] * z_int
+
+        # ---- deferred FSD evaluation (prev segment modulation)
+        if fsd:
+            dst = jnp.where(has_interaction[:, None], wp,
+                            st["ro"] + 4.0 * st["rd"])
+            ev = fsd_mod.fsd_eval(st["fsd_ap"], k, st["prev_vert"], dst)
+            # per-edge shadow tests (both legs)
+            unshadowed = jnp.ones((N, K), bool)
+            for kk in range(K):
+                pk = ev["p"][:, kk]
+                s1 = shadow_pt(st["prev_vert"], pk,
+                               jnp.full((N,), -1, jnp.int32),
+                               jnp.full((N,), -1, jnp.int32))
+                s2 = shadow_pt(pk, dst, jnp.full((N,), -1, jnp.int32),
+                               hit.tri)
+                unshadowed = unshadowed.at[:, kk].set(~s1 & ~s2)
+            # direct term: dst inside previous envelope and unoccluded
+            prev_d = vec.normalize(dst - st["prev_vert"], eps=1e-24)
+            pdist = jnp.linalg.norm(dst - st["prev_vert"], axis=-1)
+            prev_r = st["prev_env_x0"] + st["prev_env_ta"] * pdist
+            # central ray of the previous beam is the current ray; the
+            # interaction point lies on it, so "contains" holds whenever
+            # the segment is the continuation — true unless FSD sampled a
+            # side direction; approximate by cone radius > 0 check
+            direct_vis = st["fsd_valid"] \
+                & ~shadow_pt(st["prev_vert"], dst,
+                             jnp.full((N,), -1, jnp.int32), hit.tri)
+            ts, th = fsd_mod.coherent_sum(ev, k, st["prev_vert"], dst,
+                                          direct_vis, unshadowed)
+            f_mod = fsd_mod.fsd_intensity(ts, th)
+            f_mod = jnp.where(st["fsd_valid"] & jnp.isfinite(f_mod),
+                              f_mod, 1.0)
+            M_mul = st["M"] * f_mod[:, None, None]
+            M_super = st["M"] + st["M_prev"] * f_mod[:, None, None]
+            M_cur = jnp.where(st["fsd_valid"][:, None, None],
+                              jnp.where(st["sampled_fsd"][:, None, None],
+                                        M_mul, M_super),
+                              st["M"])
+        else:
+            M_cur = st["M"]
+
+        # ---- shading frame at the surface
+        sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
+        wi = -st["rd"]
+        wi_l = sf.to_local(wi)
+
+        # ---- emission MIS
+        cos_out = vec.dot(wi, hit.geo_n)
+        Le = etab.emission_radiance(et, tables.spectra, hit.emitter_id, k,
+                                    cos_out)
+        d2 = jnp.maximum(hit.t, 1e-9) ** 2
+        pdf_nee_same = etab.pdf_direct_solid_angle(
+            et, hit.emitter_id, d2, cos_out) \
+            * _emitter_pmf(et, hit.emitter_id)
+        w_mis_e = jnp.where(st["prev_specular"], 1.0,
+                            _power_heuristic(st["prev_pdf"],
+                                             pdf_nee_same)) if mis else 1.0
+        L = st["L"] + jnp.where(surface & (Le > 0),
+                                w_mis_e * contribution(M_cur, Le), 0.0)
+
+        # ---- NEE (surface lanes)
+        u_pick = rng.uniform(dkeys, rng.D_EMITTER_PICK)
+        e_n, pmf_n = _sample_emitter_by_power(et, u_pick)
+        u_nee = rng.uniform(dkeys, rng.D_NEE, 3)
+        nee = etab.sample_direct(et, geo, tables.spectra, e_n, hit.p, k,
+                                 u_nee)
+        wo_nee_l = sf.to_local(nee["wo"])
+        f_nee, pdf_b_nee = bsdf_dev.eval_f(tables, hit.mat_id, wi_l,
+                                           wo_nee_l, hit.uv, k)
+        occ = trace_mod.occluded(geo, hit.p, nee["wo"],
+                                 jnp.full((N,), eps),
+                                 nee["dist"] - 2.0 * eps,
+                                 hit.tri, nee["tri"])
+        pdf_nee = pmf_n * nee["pdf_sa"]
+        w_mis_n = jnp.where(nee["delta_dir"], 1.0,
+                            _power_heuristic(pdf_nee, pdf_b_nee)) \
+            if mis else 1.0
+        M_nee, _ = compose_scatter(M_cur, st["xf"], -st["rd"], f_nee,
+                                   -nee["wo"])
+        c_nee = contribution(M_nee, nee["Li"]) / jnp.maximum(pdf_nee,
+                                                             1e-30)
+        ok_nee = surface & nee["valid"] & (~occ) & (pdf_nee > 0) \
+            & (f_nee[:, 0, 0] > 0)
+        L = L + jnp.where(ok_nee, w_mis_n * c_nee, 0.0)
+
+        # ---- surface interaction
+        u_b = jnp.concatenate([
+            rng.uniform(dkeys, rng.D_BSDF_LOBE, 2),
+            rng.uniform(dkeys, rng.D_BSDF_DIR, 2)], axis=-1)
+        bs = bsdf_dev.sample(tables, hit.mat_id, wi_l, hit.uv, k, u_b)
+        wo_surface = sf.to_world(bs.wo)
+        M_surf, xf_surf = compose_scatter(M_cur, st["xf"], -st["rd"],
+                                          bs.Mw, -wo_surface)
+        # new envelope through the surface footprint (isotropic approx of
+        # cone_through_ellipse: footprint radius stretched by 1/cos)
+        cosg = jnp.maximum(jnp.abs(vec.dot(st["rd"], hit.geo_n)), 0.05)
+        x0_surf = fp_int / cosg
+        # scattered lobes restart with a MUB opening; speculars keep α
+        ta_mub = beam_geo.minimum_uncertainty_tan_alpha(
+            jnp.maximum(x0_surf, 1e-9) ** 2, k)
+        ta_surf = jnp.where(bs.specular, st["env_ta"],
+                            jnp.minimum(ta_mub, 0.3))
+
+        # ---- FSD interaction (midflight lanes)
+        if fsd:
+            ap_now = fsd_mod.build_aperture(
+                edge_table, eidx, wp, -st["rd"], Z_SCALE * fp_int)
+            u_fsd = jnp.concatenate(
+                [rng.uniform(dkeys, rng.D_FSD, 2),
+                 rng.uniform(dkeys, rng.D_BSDF_DIR, 2)], axis=-1)
+            fsmp = fsd_mod.fsd_sample(ap_now, k, st["ro"], wp, u_fsd)
+            # sampled-FSD weight: 1/pdf enters the beam scale
+            w_fsd = 1.0 / jnp.maximum(fsmp["pdf"], 1e-20)
+            w_fsd = jnp.where(fsmp["is_direct"],
+                              (ap_now.count() + 1).astype(jnp.float32),
+                              w_fsd)
+        else:
+            ap_now = fsd_mod.empty_aperture(N, K)
+            fsmp = dict(wo=st["rd"], p=wp,
+                        is_direct=jnp.ones((N,), bool),
+                        pdf=jnp.ones((N,)),
+                        valid=jnp.zeros((N,), bool))
+            w_fsd = jnp.ones((N,))
+
+        fsd_lane = midflight & fsmp["valid"] & jnp.asarray(fsd)
+        null_lane = midflight & ~fsd_lane
+
+        # ---- combine interaction outcomes
+        ro_new = jnp.where(surface[:, None], hit.p,
+                           jnp.where(fsd_lane[:, None], fsmp["p"], wp))
+        rd_new = jnp.where(surface[:, None], wo_surface,
+                           jnp.where(fsd_lane[:, None], fsmp["wo"],
+                                     st["rd"]))
+        M_new = jnp.where(surface[:, None, None], M_surf,
+                          M_cur * jnp.where(fsd_lane, w_fsd,
+                                            1.0)[:, None, None])
+        xf_new = jnp.where(surface[:, None], xf_surf,
+                           _perp_axis(-rd_new))
+        exclude_new = jnp.where(surface, hit.tri, st["exclude"])
+        x0_new = jnp.where(surface, x0_surf,
+                           jnp.where(fsd_lane, 1e-6, fp_int))
+        ta_new = jnp.where(surface, ta_surf,
+                           jnp.where(fsd_lane,
+                                     beam_geo.minimum_uncertainty_tan_alpha(
+                                         jnp.maximum(fp_int, 1e-9) ** 2,
+                                         k),
+                                     st["env_ta"]))
+        pdf_new = jnp.where(surface, bs.pdf, 1.0)
+        spec_new = jnp.where(surface, bs.specular, True)
+
+        # ---- new deferred aperture carry
+        fsd_valid_new = jnp.asarray(fsd) & has_interaction \
+            & ap_now.any_valid()
+        sampled_fsd_new = fsd_lane
+
+        # ---- russian roulette (not on null continuation)
+        u_rr = rng.uniform(dkeys, rng.D_RR)
+        beta = jnp.abs(M_new[:, 0, 0])
+        q = jnp.clip(beta, rr_floor, 1.0)
+        do_rr = (depth >= rr_depth) & ~null_lane
+        survive = jnp.where(do_rr, u_rr < q, True)
+        M_new = M_new / jnp.where(do_rr, q, 1.0)[:, None, None]
+
+        cont = (surface & bs.valid) | fsd_lane | null_lane
+        active = lane & cont & survive & (beta > 1e-12)
+
+        def sel(new, old):
+            br = active
+            for _ in range(new.ndim - 1):
+                br = br[..., None]
+            return jnp.where(br, new, old)
+
+        return dict(
+            ro=sel(ro_new, st["ro"]), rd=sel(rd_new, st["rd"]),
+            M=sel(M_new, st["M"]), xf=sel(xf_new, st["xf"]),
+            L=L, active=active,
+            exclude=sel(exclude_new, st["exclude"]),
+            prev_pdf=sel(pdf_new, st["prev_pdf"]),
+            prev_specular=sel(spec_new, st["prev_specular"]),
+            env_x0=sel(x0_new, st["env_x0"]),
+            env_ta=sel(ta_new, st["env_ta"]),
+            fsd_ap=jax.tree.map(
+                lambda n, o: jnp.where(
+                    active.reshape(active.shape + (1,) * (n.ndim - 1)),
+                    n, o), ap_now, st["fsd_ap"]),
+            fsd_valid=active & fsd_valid_new,
+            sampled_fsd=sel(sampled_fsd_new, st["sampled_fsd"]),
+            prev_vert=sel(wp, st["prev_vert"]),
+            M_prev=sel(M_cur, st["M_prev"]),
+            prev_env_x0=sel(st["env_x0"], st["prev_env_x0"]),
+            prev_env_ta=sel(st["env_ta"], st["prev_env_ta"]),
+        )
+
+    state = jax.lax.fori_loop(0, max_depth, body, state)
+
+    sens = sensor.response.sensitivities(k, tables.spectra, None)
+    values = (state["L"] * w_spectral)[:, None] * sens
+    return splat_pos, values, jnp.ones((N,), bool)

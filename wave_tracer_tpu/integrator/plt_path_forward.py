@@ -1,0 +1,285 @@
+"""plt_path forward transport — light tracing onto virtual sensors.
+
+Reference include/wt/integrator/plt_path/plt_path_detail.hpp:804-828
+(integrate_forward) and :513-540 (sensing): beams start at emitters; when
+a segment sweeps past a virtual coverage sensor the beam is connected
+directly onto the sensor element (`Si`), through the thread-safe
+light-image splat path. The deferred free-space-diffraction carry
+modulates each connection with the coherent per-edge UTD sum — this is
+where interference fringes (double-slit) and multipath fading (coverage
+maps) appear.
+
+Scalar-intensity transport (the virtual-plane responses are
+non-polarimetric); lanes carry the beam weight in W/(rad/m) per path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from wave_tracer_tpu.accel import edges as edges_mod
+from wave_tracer_tpu.accel import trace as trace_mod
+from wave_tracer_tpu.bsdf import device as bsdf_dev
+from wave_tracer_tpu.emitter import table as etab
+from wave_tracer_tpu.integrator.path import _sample_emitter_by_power
+from wave_tracer_tpu.math import frame as frame_mod
+from wave_tracer_tpu.math import vec
+from wave_tracer_tpu.sampling import rng
+from wave_tracer_tpu.wave import beam as beam_geo
+from wave_tracer_tpu.wave import fsd as fsd_mod
+
+BIG = 1e30
+Z_SCALE = 2.0
+
+
+def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
+                  edge_table, max_depth: int = 8, rr_depth: int = 3,
+                  rr_floor: float = 0.5, eps: float = 1e-5,
+                  fsd: bool = True, K: int = 8):
+    """Forward light-trace batch.
+
+    Each lane emits one beam and records its first virtual-plane crossing
+    (beams rarely cross the plane twice; the carried accumulator keeps the
+    first). Returns (splat_pos (N, 2), values (N, C), valid) for the
+    direct-splat film path.
+    """
+    geo = data.geo
+    tables = data.tables
+    et = data.emitters
+    sp = data.spectral
+    N = lane_ids.shape[0]
+
+    keys = rng.sample_key(base_key, lane_ids, sample_ids)
+
+    # spectral + emitter sampling (joint)
+    u_spec = rng.uniform(keys, rng.D_SPECTRUM, 2)
+    e0, pmf_e = sp.sample_emitter(u_spec[:, 0])
+    k, pdf_k = sp.sample_k(e0, u_spec[:, 1])
+    # joint: emitter pmf × its spectral density (forward samples keep the
+    # emitter they drew)
+    w_spectral = 1.0 / jnp.maximum(pmf_e * pdf_k, 1e-30)
+
+    # emission beam
+    u_em = jnp.concatenate([rng.uniform(keys, rng.D_EMITTER_POS, 3),
+                            rng.uniform(keys, rng.D_EMITTER_DIR, 1)],
+                           axis=-1)
+    em = etab.sample_emission(et, geo, tables.spectra, e0, k, u_em)
+    W_sens = sensor.importance()
+
+    # beam envelope sourcing from the emitter's phase-space scale
+    pse = et.pse_scale[e0]
+    cosc = et.cos_cutoff[e0]
+    ta0 = jnp.sqrt(jnp.maximum(1.0 - cosc * cosc, 1e-12)) \
+        / jnp.maximum(cosc, 0.1) * pse
+    is_spot = et.etype[e0] == etab.ET_SPOT
+    ta0 = jnp.where(is_spot, ta0, 0.05 * pse)
+    se_mub, ta_mub = beam_geo.make_mub(jnp.zeros((N,)), ta0, k)
+    x0_0 = jnp.sqrt(jnp.maximum(se_mub, 0.0))
+
+    state = dict(
+        ro=em["y"], rd=em["wo"],
+        w=em["weight"] * w_spectral,
+        acc=jnp.zeros((N,), jnp.float32),       # accumulated splat value
+        pos=jnp.zeros((N, 2), jnp.float32),     # splat element position
+        hit_plane=jnp.zeros((N,), bool),
+        active=em["valid"],
+        exclude=jnp.full((N,), -1, jnp.int32),
+        env_x0=x0_0, env_ta=ta_mub,
+        fsd_ap=fsd_mod.empty_aperture(N, K),
+        fsd_valid=jnp.zeros((N,), bool),
+        sampled_fsd=jnp.zeros((N,), bool),
+        prev_vert=em["y"],
+        w_prev=jnp.zeros((N,), jnp.float32),
+    )
+
+    def shadow_pt(a, b, ex1, ex2):
+        d = b - a
+        dist = jnp.linalg.norm(d, axis=-1)
+        dn = d / jnp.maximum(dist, 1e-20)[:, None]
+        return trace_mod.occluded(geo, a, dn, jnp.full((N,), eps),
+                                  dist - 2.0 * eps, ex1, ex2)
+
+    def fsd_factor(st, dst, hit_tri):
+        """Coherent modulation of the segment prev_vert→dst."""
+        ev = fsd_mod.fsd_eval(st["fsd_ap"], k, st["prev_vert"], dst)
+        unshadowed = jnp.ones((N, K), bool)
+        for kk in range(K):
+            pk = ev["p"][:, kk]
+            s1 = shadow_pt(st["prev_vert"], pk,
+                           jnp.full((N,), -1, jnp.int32),
+                           jnp.full((N,), -1, jnp.int32))
+            s2 = shadow_pt(pk, dst, jnp.full((N,), -1, jnp.int32),
+                           hit_tri)
+            unshadowed = unshadowed.at[:, kk].set(~s1 & ~s2)
+        direct_vis = st["fsd_valid"] \
+            & ~shadow_pt(st["prev_vert"], dst,
+                         jnp.full((N,), -1, jnp.int32), hit_tri)
+        ts, th = fsd_mod.coherent_sum(ev, k, st["prev_vert"], dst,
+                                      direct_vis, unshadowed)
+        f = fsd_mod.fsd_intensity(ts, th)
+        return jnp.where(st["fsd_valid"] & jnp.isfinite(f), f, 1.0)
+
+    def body(depth, st):
+        dkeys = rng.depth_key(keys, depth)
+
+        t, tri, u, v = trace_mod.trace(geo, st["ro"], st["rd"],
+                                       jnp.full((N,), eps),
+                                       jnp.full((N,), BIG), st["exclude"])
+        hit = trace_mod.hit_attributes(geo, st["ro"], st["rd"], t, tri, u,
+                                       v)
+        lane = st["active"]
+        seg_end = jnp.where(hit.valid, hit.t, BIG)
+
+        # ---- edge sweep
+        zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"],
+                         8.0 * data.emitters.scene_radius)
+        if fsd and edge_table.count > 0:
+            eidx, ez, ecnt = edges_mod.edges_near_ray(
+                edge_table, st["ro"], st["rd"], st["env_x0"],
+                st["env_ta"], zmax, K)
+        else:
+            eidx = jnp.full((N, K), -1, jnp.int32)
+            ez = jnp.full((N, K), jnp.inf)
+            ecnt = jnp.zeros((N,), jnp.int32)
+        have_edges = ecnt > 0
+        z_first = jnp.where(have_edges, jnp.min(ez, axis=1), BIG)
+        fp_hit = st["env_x0"] + st["env_ta"] * jnp.where(hit.valid, hit.t,
+                                                         0.0)
+        delta_hit = jnp.maximum(Z_SCALE * fp_hit, 4.0 * eps)
+        hit_ok = lane & hit.valid
+        midflight = have_edges & (z_first < jnp.where(
+            hit.valid, hit.t - delta_hit, BIG))
+        surface = hit_ok & ~midflight
+        z_int = jnp.where(surface, hit.t, z_first)
+        has_interaction = lane & (surface | midflight)
+        wp = st["ro"] + z_int[:, None] * st["rd"]
+        fp_int = st["env_x0"] + st["env_ta"] * z_int
+
+        # ---- sensing: does this segment cross the virtual plane?
+        tpl, pxy, inside, cos_in = sensor.intersect(st["ro"], st["rd"])
+        crosses = lane & inside & (tpl > eps) \
+            & (tpl < jnp.minimum(seg_end, z_int + delta_hit)) \
+            & (cos_in > 0)
+        plane_p = st["ro"] + tpl[:, None] * st["rd"]
+        f_seg = fsd_factor(st, plane_p, hit.tri) if fsd \
+            else jnp.ones((N,))
+        contrib = st["w"] * W_sens * f_seg
+        # record first crossing only
+        newly = crosses & ~st["hit_plane"]
+        acc = jnp.where(newly, contrib, st["acc"])
+        pos = jnp.where(newly[:, None], pxy, st["pos"])
+        hit_plane = st["hit_plane"] | crosses
+
+        # ---- deferred FSD modulation for the continuing beam
+        if fsd:
+            dst_seg = jnp.where(has_interaction[:, None], wp,
+                                st["ro"] + (4.0 * data.emitters.
+                                            scene_radius) * st["rd"])
+            f_mod = fsd_factor(st, dst_seg, hit.tri)
+            w_cur = jnp.where(st["fsd_valid"],
+                              jnp.where(st["sampled_fsd"],
+                                        st["w"] * f_mod,
+                                        st["w"] + st["w_prev"] * f_mod),
+                              st["w"])
+        else:
+            w_cur = st["w"]
+
+        # ---- surface interaction (scalar weight: M00 of the sampled bsdf)
+        sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
+        wi_l = sf.to_local(-st["rd"])
+        u_b = jnp.concatenate([
+            rng.uniform(dkeys, rng.D_BSDF_LOBE, 2),
+            rng.uniform(dkeys, rng.D_BSDF_DIR, 2)], axis=-1)
+        bs = bsdf_dev.sample(tables, hit.mat_id, wi_l, hit.uv, k, u_b)
+        wo_surface = sf.to_world(bs.wo)
+        w_surf = w_cur * jnp.abs(bs.Mw[:, 0, 0])
+        cosg = jnp.maximum(jnp.abs(vec.dot(st["rd"], hit.geo_n)), 0.05)
+        x0_surf = fp_int / cosg
+        ta_mub2 = beam_geo.minimum_uncertainty_tan_alpha(
+            jnp.maximum(x0_surf, 1e-9) ** 2, k)
+        ta_surf = jnp.where(bs.specular, st["env_ta"],
+                            jnp.minimum(ta_mub2, 0.3))
+
+        # ---- FSD interaction
+        if fsd:
+            ap_now = fsd_mod.build_aperture(
+                edge_table, eidx, wp, -st["rd"], Z_SCALE * fp_int)
+            u_fsd = jnp.concatenate(
+                [rng.uniform(dkeys, rng.D_FSD, 2),
+                 rng.uniform(dkeys, rng.D_PHASE, 2)], axis=-1)
+            fsmp = fsd_mod.fsd_sample(ap_now, k, st["ro"], wp, u_fsd)
+            w_fsd_scale = jnp.where(
+                fsmp["is_direct"],
+                (ap_now.count() + 1).astype(jnp.float32),
+                1.0 / jnp.maximum(fsmp["pdf"], 1e-20))
+        else:
+            ap_now = fsd_mod.empty_aperture(N, K)
+            fsmp = dict(wo=st["rd"], p=wp,
+                        is_direct=jnp.ones((N,), bool),
+                        pdf=jnp.ones((N,)),
+                        valid=jnp.zeros((N,), bool))
+            w_fsd_scale = jnp.ones((N,))
+
+        fsd_lane = midflight & fsmp["valid"] & jnp.asarray(fsd)
+        null_lane = midflight & ~fsd_lane
+
+        ro_new = jnp.where(surface[:, None], hit.p,
+                           jnp.where(fsd_lane[:, None], fsmp["p"], wp))
+        rd_new = jnp.where(surface[:, None], wo_surface,
+                           jnp.where(fsd_lane[:, None], fsmp["wo"],
+                                     st["rd"]))
+        w_new = jnp.where(surface, w_surf,
+                          w_cur * jnp.where(fsd_lane, w_fsd_scale, 1.0))
+        exclude_new = jnp.where(surface, hit.tri, st["exclude"])
+        x0_new = jnp.where(surface, x0_surf,
+                           jnp.where(fsd_lane, 1e-6, fp_int))
+        ta_new = jnp.where(surface, ta_surf,
+                           jnp.where(fsd_lane,
+                                     beam_geo.minimum_uncertainty_tan_alpha(
+                                         jnp.maximum(fp_int, 1e-9) ** 2,
+                                         k),
+                                     st["env_ta"]))
+
+        fsd_valid_new = jnp.asarray(fsd) & has_interaction \
+            & ap_now.any_valid()
+
+        u_rr = rng.uniform(dkeys, rng.D_RR)
+        q = jnp.clip(w_new / jnp.maximum(st["w"], 1e-30), rr_floor, 1.0)
+        do_rr = (depth >= rr_depth) & ~null_lane
+        survive = jnp.where(do_rr, u_rr < q, True)
+        w_new = w_new / jnp.where(do_rr, q, 1.0)
+
+        cont = (surface & bs.valid) | fsd_lane | null_lane
+        active = lane & cont & survive & (w_new > 1e-25) & jnp.isfinite(
+            w_new)
+
+        def sel(new, old):
+            br = active
+            for _ in range(new.ndim - 1):
+                br = br[..., None]
+            return jnp.where(br, new, old)
+
+        return dict(
+            ro=sel(ro_new, st["ro"]), rd=sel(rd_new, st["rd"]),
+            w=sel(w_new, st["w"]),
+            acc=acc, pos=pos, hit_plane=hit_plane,
+            active=active,
+            exclude=sel(exclude_new, st["exclude"]),
+            env_x0=sel(x0_new, st["env_x0"]),
+            env_ta=sel(ta_new, st["env_ta"]),
+            fsd_ap=jax.tree.map(
+                lambda n, o: jnp.where(
+                    active.reshape(active.shape + (1,) * (n.ndim - 1)),
+                    n, o), ap_now, st["fsd_ap"]),
+            fsd_valid=active & fsd_valid_new,
+            sampled_fsd=sel(fsd_lane, st["sampled_fsd"]),
+            prev_vert=sel(wp, st["prev_vert"]),
+            w_prev=sel(w_cur, st["w_prev"]),
+        )
+
+    state = jax.lax.fori_loop(0, max_depth, body, state)
+
+    sens = sensor.response.sensitivities(k, tables.spectra, None)
+    values = state["acc"][:, None] * sens
+    return state["pos"], values, state["hit_plane"]

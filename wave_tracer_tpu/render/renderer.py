@@ -1,29 +1,36 @@
 """Render orchestration: batched wavefront launches into a film.
 
 The reference's scene_renderer_t drives a thread pool over 24×24 pixel
-blocks (reference include/wt/scene/scene_renderer.hpp:102,
+blocks (reference include/wt/sensor/../scene_renderer.hpp:102,
 src/scene/render.cpp:381-579). On TPU the equivalent is a jitted
 mega-batch: (pixels × spp) lanes are chunked into launches sized to fill
 the chip, each launch traces a full wavefront and scatter-adds into the
-film carried as device state. Progressive spp accumulation keeps partial
-results developable at any time (the reference's capture-intermediate
-interrupt becomes 'develop whenever').
+film carried as device state. Backward (camera) sensors use the wave
+plt_path integrator when free-space diffraction is enabled; virtual-plane
+coverage sensors render with forward light tracing into the direct-splat
+film (reference plt_path integrate_forward).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
+from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from functools import partial
 
 from wave_tracer_tpu.integrator.path import trace_paths
+from wave_tracer_tpu.integrator.plt_path import trace_paths_wave
+from wave_tracer_tpu.integrator.plt_path_forward import trace_forward
 from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.sensor import film as film_mod
+from wave_tracer_tpu.sensor.virtual_plane import VirtualPlaneSensor
+
+# brute-force edge sweeps get expensive past this edge count; classical
+# transport (no FSD) is used beyond it until the gridded edge query lands
+MAX_FSD_EDGES = 8192
 
 
 @dataclasses.dataclass
@@ -38,24 +45,34 @@ class Renderer:
         scene = built.scene
         sensor = scene.sensors[sensor_index]
         spp = spp or sensor.samples
+        data = built.data.replace(
+            spectral=built.spectral_per_sensor[sensor_index])
+        if isinstance(sensor, VirtualPlaneSensor):
+            return self._render_forward(data, sensor, spp, progress)
+        return self._render_backward(data, sensor, spp, progress)
+
+    # ------------------------------------------------------------------
+    def _render_backward(self, data, sensor, spp, progress):
+        built = self.built
+        scene = built.scene
         W, H = sensor.width, sensor.height
         C = sensor.response.channels
         film = film_mod.make_film(W, H, C, sensor.rfilter_sigma)
-        data = built.data.replace(
-            spectral=built.spectral_per_sensor[sensor_index])
-
         base_key = rng.make_base_key(self.seed)
         cfg = scene.integrator
         eps = 1e-4 * scene.world_radius()
+        n_edges = int(data.edges.count)
+        wave = (cfg.fsd and not sensor.ray_trace_only
+                and not cfg.ray_trace_only
+                and 0 < n_edges <= MAX_FSD_EDGES)
 
         npixels = W * H
         lanes = self.batch_lanes
-        pix_per_batch = max(lanes // max(spp, 1), 1)
-        pix_per_batch = min(pix_per_batch, npixels)
-        spp_per_batch = max(lanes // pix_per_batch, 1)
-        spp_per_batch = min(spp_per_batch, spp)
+        pix_per_batch = min(max(lanes // max(spp, 1), 1), npixels)
+        spp_per_batch = min(max(lanes // pix_per_batch, 1), spp)
 
-        kern = make_render_kernel(sensor, cfg.max_depth, eps, cfg.mis)
+        kern = make_render_kernel(sensor, cfg.max_depth, eps, cfg.mis,
+                                  wave)
 
         t0 = time.time()
         total_lanes = 0
@@ -72,20 +89,56 @@ class Renderer:
                 progress(s1, spp)
         film.value.block_until_ready()
         dt = time.time() - t0
-        img = np.asarray(film_mod.develop(film, spp))
+        img = np.asarray(film_mod.develop(film, 0.0))
         return img, dict(seconds=dt, paths=total_lanes,
-                         paths_per_sec=total_lanes / max(dt, 1e-9))
+                         paths_per_sec=total_lanes / max(dt, 1e-9),
+                         mode="wave" if wave else "ray")
+
+    # ------------------------------------------------------------------
+    def _render_forward(self, data, sensor, spp, progress):
+        built = self.built
+        scene = built.scene
+        W, H = sensor.width, sensor.height
+        C = sensor.response.channels
+        film = film_mod.make_film(W, H, C, sensor.rfilter_sigma)
+        base_key = rng.make_base_key(self.seed)
+        cfg = scene.integrator
+        eps = 1e-4 * scene.world_radius()
+        wave = cfg.fsd and 0 < int(data.edges.count) <= MAX_FSD_EDGES
+
+        total_paths = spp * W * H
+        lanes = self.batch_lanes
+        kern = make_forward_kernel(sensor, cfg.max_depth, eps, wave)
+
+        t0 = time.time()
+        done = 0
+        batch = 0
+        while done < total_paths:
+            n = min(lanes, total_paths - done)
+            lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+            sids = jnp.full((lanes,), batch, jnp.int32)
+            live = jnp.arange(lanes, dtype=jnp.int32) < n
+            film = kern(data, film, base_key, lane_ids, sids, live)
+            done += n
+            batch += 1
+            if progress:
+                progress(done, total_paths)
+        film.direct.block_until_ready()
+        dt = time.time() - t0
+        spe = total_paths / float(W * H)
+        img = np.asarray(film_mod.develop(film, spe))
+        return img, dict(seconds=dt, paths=total_paths,
+                         paths_per_sec=total_paths / max(dt, 1e-9),
+                         mode="forward-wave" if wave else "forward")
 
 
-def make_render_kernel(sensor, max_depth, eps, mis):
-    """Jitted launch: trace pix_count×spp_count lanes, splat into film."""
+def make_render_kernel(sensor, max_depth, eps, mis, wave):
+    """Jitted backward launch: trace pix×spp lanes, splat into film."""
 
-    @partial(jax.jit, static_argnums=(5, 8),
-             donate_argnums=(1,))
+    @partial(jax.jit, static_argnums=(5, 8), donate_argnums=(1,))
     def kern(data, film, base_key, p0, p_count, pix_cap, s0, s_count,
              spp_cap):
         W = sensor.width
-        # lane grid: (pix_cap, spp_cap) flattened
         pix = p0 + jnp.arange(pix_cap, dtype=jnp.int32)
         live_p = jnp.arange(pix_cap, dtype=jnp.int32) < p_count
         pix = jnp.where(live_p, pix, 0)
@@ -97,22 +150,45 @@ def make_render_kernel(sensor, max_depth, eps, mis):
         pxy = jnp.stack(jnp.broadcast_arrays(px[:, None], py[:, None]),
                         axis=-1)
         pxy = jnp.broadcast_to(pxy, (pix_cap, spp_cap, 2)).reshape(-1, 2)
-        sid = jnp.broadcast_to(sids[None, :], (pix_cap, spp_cap)).reshape(-1)
+        sid = jnp.broadcast_to(sids[None, :],
+                               (pix_cap, spp_cap)).reshape(-1)
         live = jnp.broadcast_to(live_p[:, None] & live_s[None, :],
                                 (pix_cap, spp_cap)).reshape(-1)
 
         jit_u = rng.uniform(rng.sample_key(base_key,
-                                           pxy[:, 1] * W + pxy[:, 0], sid),
+                                           pxy[:, 1] * W + pxy[:, 0],
+                                           sid),
                             rng.D_PIXEL_JITTER, 2)
-        pos, values, ok = trace_paths(
-            data, pxy, jit_u, base_key, sid, sensor=sensor,
-            max_depth=max_depth, eps=eps, mis=mis)
+        if wave:
+            pos, values, ok = trace_paths_wave(
+                data, pxy, jit_u, base_key, sid, sensor=sensor,
+                edge_table=data.edges, max_depth=max_depth, eps=eps,
+                mis=mis)
+        else:
+            pos, values, ok = trace_paths(
+                data, pxy, jit_u, base_key, sid, sensor=sensor,
+                max_depth=max_depth, eps=eps, mis=mis)
         return film_mod.splat(film, pos, values, ok & live)
 
     return kern
 
 
+def make_forward_kernel(sensor, max_depth, eps, wave):
+    """Jitted forward launch: emit lanes, record plane crossings."""
+
+    @jax.jit
+    def kern(data, film, base_key, lane_ids, sids, live):
+        pos, values, ok = trace_forward(
+            data, lane_ids, base_key, sids, sensor=sensor,
+            edge_table=data.edges, max_depth=max_depth, eps=eps,
+            fsd=wave)
+        return film_mod.splat_direct(film, pos, values, ok & live)
+
+    return kern
+
+
 def render_scene(built, sensor_index: int = 0, spp: int | None = None,
-                 batch_lanes: int = 1 << 17, seed: int = 0, progress=None):
+                 batch_lanes: int = 1 << 17, seed: int = 0,
+                 progress=None):
     r = Renderer(built, batch_lanes=batch_lanes, seed=seed)
     return r.render_sensor(sensor_index, spp, progress)

@@ -16,6 +16,7 @@ import numpy as np
 from flax import struct
 
 from wave_tracer_tpu.accel import bvh as bvh_mod
+from wave_tracer_tpu.accel import edges as edges_mod
 from wave_tracer_tpu.accel import trace as trace_mod
 from wave_tracer_tpu.bsdf import device as bsdf_dev
 from wave_tracer_tpu.bsdf import model as bmodel
@@ -37,6 +38,7 @@ class SceneData:
     tables: bsdf_dev.Tables
     emitters: EmitterTable
     spectral: SpectralSampler      # for the primary sensor
+    edges: edges_mod.EdgeTable     # classified wedge edges (FSD)
 
 
 @dataclass
@@ -141,6 +143,10 @@ def build_scene(scene: Scene) -> BuiltScene:
 
     bvh = bvh_mod.build_bvh(soup.positions)
     geo = trace_mod.from_soup(soup, mat_id, shape_id, emitter_id, bvh)
+    perm0 = bvh.tri_order if len(bvh.tri_order) else np.zeros(0, np.int64)
+    edge_table = edges_mod.classify_edges(
+        soup.positions[perm0] if len(perm0) else soup.positions,
+        soup.geo_n[perm0] if len(perm0) else soup.geo_n)
 
     spec_table = bake_spectra(spectra)
     cspec_table = bake_complex(cspectra)
@@ -164,6 +170,6 @@ def build_scene(scene: Scene) -> BuiltScene:
         raise ValueError("scene has no sensors")
 
     data = SceneData(geo=geo, tables=tables, emitters=etable,
-                     spectral=per_sensor[0])
+                     spectral=per_sensor[0], edges=edge_table)
     return BuiltScene(scene=scene, data=data, bvh=bvh,
                       spectral_per_sensor=per_sensor)

@@ -165,8 +165,20 @@ def build_spectral_sampler(emitters, sensitivity: Spectrum
     n_lines = np.zeros(E, np.int32)
 
     s_lo, s_hi = sensitivity.krange()
+    sens_discrete = getattr(sensitivity, "is_discrete", False)
     for i, em in enumerate(emitters):
         spec = em.spectrum
+        if sens_discrete and not spec.is_discrete:
+            # line sensitivity × continuous emitter → lines at the
+            # sensitivity's wavenumbers weighted by the emitter density
+            sk, sw = sensitivity.lines()
+            w = np.asarray(spec.eval(sk)) * sw
+            n = min(len(sk), LMAX)
+            line_k[i, :n] = sk[:n]
+            line_w[i, :n] = np.maximum(w[:n], 0.0)
+            n_lines[i] = n
+            e_w[i] = max(line_w[i, :n].sum(), 1e-30)
+            continue
         if spec.is_discrete:
             ks, ws = spec.lines()
             sens = sensitivity.eval(ks)

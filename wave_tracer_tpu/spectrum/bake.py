@@ -78,8 +78,24 @@ def bake_spectra(specs: list[Spectrum]) -> SpectrumTable:
         kmin, kmax = s.krange()
         kmin = max(kmin, 1e-9)
         kmax = max(kmax, kmin * (1 + 1e-6))
-        grid = np.geomspace(kmin, kmax, K_RES)
-        vals[i] = 0.0 if s.is_discrete else s.eval(grid)
+        if s.is_discrete:
+            # deposit line WEIGHTS (not densities) so that eval at a
+            # sampled line returns w_i — paired with pmf-measure sampling
+            # the discrete measures cancel exactly (the reference's
+            # density-measure discipline, sampler/density.hpp)
+            kmin = kmin * (1.0 - 1e-3)
+            kmax = kmax * (1.0 + 1e-3)
+            grid = np.geomspace(kmin, kmax, K_RES)
+            ks, ws = s.lines()
+            row = np.zeros(K_RES)
+            for kl, wl in zip(ks, ws):
+                j = np.searchsorted(grid, kl)
+                row[max(j - 1, 0)] = max(row[max(j - 1, 0)], wl)
+                row[min(j, K_RES - 1)] = max(row[min(j, K_RES - 1)], wl)
+            vals[i] = row
+        else:
+            grid = np.geomspace(kmin, kmax, K_RES)
+            vals[i] = s.eval(grid)
         lo[i] = np.log(kmin)
         hi[i] = np.log(kmax)
     return SpectrumTable(vals=jnp.asarray(vals), log_kmin=jnp.asarray(lo),
