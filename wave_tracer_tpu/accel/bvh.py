@@ -46,10 +46,22 @@ class FlatBVH:
         return best
 
 
+NATIVE_THRESHOLD = 4096   # use the C++ builder above this triangle count
+
+
 def build_bvh(positions: np.ndarray, max_leaf: int = 4,
               n_bins: int = 16) -> FlatBVH:
-    """Binned-SAH binary BVH over triangle soup positions (T, 3, 3)."""
+    """Binned-SAH binary BVH over triangle soup positions (T, 3, 3).
+
+    Large scenes build through the native C++ kernel (native/) when the
+    toolchain is available; the array layout is identical either way.
+    """
     T = len(positions)
+    if T > NATIVE_THRESHOLD:
+        from wave_tracer_tpu import native
+        out = native.build_bvh_native(positions, max_leaf)
+        if out is not None:
+            return out
     if T == 0:
         return FlatBVH(np.zeros((1, 3), np.float32),
                        np.zeros((1, 3), np.float32),
