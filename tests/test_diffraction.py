@@ -1,0 +1,52 @@
+"""Physical-optics regression: double-slit interference fringe spacing.
+
+Renders the reference double_slits scene (forward transport onto the
+virtual plane) at reduced resolution and verifies the dominant fringe
+period against the analytic two-slit prediction Δx = λ·L/d.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+SCENES = "/root/reference/scenes"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SCENES), reason="reference scenes not mounted")
+
+
+@pytest.mark.slow
+def test_double_slit_fringe_spacing():
+    from wave_tracer_tpu.render import render_scene
+    from wave_tracer_tpu.scene import build_scene
+    from wave_tracer_tpu.scene.xml import load_scene_xml
+
+    res = 256
+    s = load_scene_xml(f"{SCENES}/diffraction_simple/double_slits.xml",
+                       {"pattern": "true", "res": str(res), "spp": "4"})
+    built = build_scene(s)
+    assert int(built.data.edges.count) > 4   # slit wedges classified
+    img, stats = render_scene(built, spp=4, batch_lanes=1 << 14)
+    inten = img[..., 0]
+    assert np.isfinite(inten).all()
+    assert (inten > 0).any()
+
+    # average the central band, FFT for the fringe period
+    H = inten.shape[0]
+    prof = inten[H // 4: 3 * H // 4].mean(axis=0)
+    band = prof[res // 4: 3 * res // 4]
+    assert band.max() > 0
+    b = band / band.max()
+    f = np.abs(np.fft.rfft(b - b.mean()))
+    peak = np.argmax(f[2:]) + 2
+    period_px = len(b) / peak
+
+    # geometry: slits in the screen at z=-15mm, plane at z≈50mm → L=65mm;
+    # λ=0.05mm; slit separation ~0.95mm (bits/geometry.xml) →
+    # Δx = λL/d ≈ 3.4mm ≈ 14px at 1024/250mm... scaled: res px over 250mm
+    mm_per_px = 250.0 / res
+    d_slit = 0.95
+    expect_px = 0.05 * 65.0 / d_slit / mm_per_px
+    assert abs(period_px - expect_px) / expect_px < 0.35, \
+        f"fringe period {period_px:.1f}px vs expected {expect_px:.1f}px"

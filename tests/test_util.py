@@ -1,0 +1,100 @@
+"""Utility subsystem tests: sobol sampler, stats, checkpoint, EXR IO."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from wave_tracer_tpu.render import checkpoint
+from wave_tracer_tpu.render.output import read_exr, write_exr
+from wave_tracer_tpu.sampling import sobol
+from wave_tracer_tpu.sensor.film import make_film
+from wave_tracer_tpu.util import stats
+
+
+class TestSobol:
+    def test_uniform_coverage(self):
+        idx = jnp.arange(1024)
+        seed = jnp.zeros(1024, jnp.uint32)
+        u = np.asarray(sobol.sample(idx, 0, seed))
+        assert (u >= 0).all() and (u < 1).all()
+        # stratification: 16 bins each get exactly 64 of 1024 (Sobol dim0
+        # is van der Corput; Owen scrambling preserves stratification)
+        hist, _ = np.histogram(u, bins=16, range=(0, 1))
+        np.testing.assert_array_equal(hist, 64)
+
+    def test_2d_low_discrepancy(self):
+        n = 256
+        idx = jnp.arange(n)
+        seed = jnp.zeros(n, jnp.uint32)
+        pts = np.asarray(sobol.sample2(idx, 0, seed))
+        # per-quadrant balance beats iid random w.h.p.
+        qx = (pts[:, 0] > 0.5).astype(int)
+        qy = (pts[:, 1] > 0.5).astype(int)
+        counts = np.bincount(qx * 2 + qy, minlength=4)
+        np.testing.assert_allclose(counts, n / 4, atol=2)
+
+    def test_seed_decorrelates(self):
+        idx = jnp.arange(64)
+        u0 = np.asarray(sobol.sample(idx, 0, jnp.zeros(64, jnp.uint32)))
+        u1 = np.asarray(sobol.sample(idx, 0, jnp.full(64, 7, jnp.uint32)))
+        assert np.abs(u0 - u1).max() > 0.1
+
+
+class TestStats:
+    def test_collectors(self):
+        r = stats.Registry()
+        r.counter("rays").add(10)
+        r.counter("rays").add(5)
+        r.histogram("depth").add(4)
+        r.event_counter("casts").add("hit", 3)
+        with r.timing("trace"):
+            pass
+        rep = r.report()
+        assert rep["rays"] == 15
+        assert sum(rep["depth"]) == 1
+        assert rep["casts"]["hit"] == 3
+        assert rep["trace"]["count"] == 1
+
+    def test_running_stat(self):
+        r = stats.RunningStat()
+        for x in [1.0, 2.0, 3.0, 4.0]:
+            r.add(x)
+        rep = r.report()
+        np.testing.assert_allclose(rep["mean"], 2.5)
+        np.testing.assert_allclose(rep["std"], np.std([1, 2, 3, 4],
+                                                      ddof=1))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        film = make_film(8, 4, 3)
+        film = film.replace(value=film.value + 2.5)
+        p = str(tmp_path / "ckpt.npz")
+        checkpoint.save_checkpoint(p, film, spp_done=7, seed=42,
+                                   sensor_id="cam")
+        f2, spp, seed, sid = checkpoint.load_checkpoint(p)
+        assert spp == 7 and seed == 42 and sid == "cam"
+        np.testing.assert_array_equal(np.asarray(f2.value),
+                                      np.asarray(film.value))
+
+
+class TestEXR:
+    def test_roundtrip_half_zip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 10, (33, 47, 3)).astype(np.float32)
+        p = str(tmp_path / "t.exr")
+        write_exr(p, img, half=True, compress=True,
+                  metadata={"renderer": "wave_tracer_tpu"})
+        out, names = read_exr(p)
+        assert sorted(names) == ["B", "G", "R"]
+        # channels stored alphabetically: B,G,R
+        back = np.stack([out[..., names.index(c)] for c in "RGB"], axis=-1)
+        np.testing.assert_allclose(back, img, rtol=2e-3, atol=2e-2)
+
+    def test_roundtrip_float_uncompressed(self, tmp_path):
+        img = np.linspace(0, 1, 16 * 16).reshape(16, 16).astype(np.float32)
+        p = str(tmp_path / "t2.exr")
+        write_exr(p, img, half=False, compress=False)
+        out, names = read_exr(p)
+        np.testing.assert_allclose(out[..., 0], img, atol=1e-7)
