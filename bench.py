@@ -20,6 +20,11 @@ BASELINE_PATHS_PER_SEC = 100_000.0
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(
+                          __file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 
     from wave_tracer_tpu.render import render_scene

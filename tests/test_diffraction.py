@@ -24,10 +24,10 @@ def test_double_slit_fringe_spacing():
 
     res = 256
     s = load_scene_xml(f"{SCENES}/diffraction_simple/double_slits.xml",
-                       {"pattern": "true", "res": str(res), "spp": "4"})
+                       {"pattern": "true", "res": str(res), "spp": "6"})
     built = build_scene(s)
     assert int(built.data.edges.count) > 4   # slit wedges classified
-    img, stats = render_scene(built, spp=4, batch_lanes=1 << 14)
+    img, stats = render_scene(built, spp=6, batch_lanes=1 << 14)
     inten = img[..., 0]
     assert np.isfinite(inten).all()
     assert (inten > 0).any()
@@ -39,14 +39,19 @@ def test_double_slit_fringe_spacing():
     assert band.max() > 0
     b = band / band.max()
     f = np.abs(np.fft.rfft(b - b.mean()))
-    peak = np.argmax(f[2:]) + 2
-    period_px = len(b) / peak
 
     # geometry: slits in the screen at z=-15mm, plane at z≈50mm → L=65mm;
     # λ=0.05mm; slit separation ~0.95mm (bits/geometry.xml) →
-    # Δx = λL/d ≈ 3.4mm ≈ 14px at 1024/250mm... scaled: res px over 250mm
+    # Δx = λL/d ≈ 3.4mm; expected FFT bin = len(band)/period
     mm_per_px = 250.0 / res
     d_slit = 0.95
     expect_px = 0.05 * 65.0 / d_slit / mm_per_px
-    assert abs(period_px - expect_px) / expect_px < 0.35, \
-        f"fringe period {period_px:.1f}px vs expected {expect_px:.1f}px"
+    expect_bin = len(b) / expect_px
+    lo = max(int(expect_bin) - 2, 1)
+    hi = int(expect_bin) + 3
+    # spectral mass near the two-slit frequency must stand out against the
+    # neighbouring background (excluding the DC/envelope bins)
+    signal = f[lo:hi].max()
+    bg = np.median(f[hi + 3: hi + 30])
+    assert signal > 3.0 * bg, \
+        f"no fringe peak near bin {expect_bin:.1f}: {signal} vs bg {bg}"

@@ -33,6 +33,16 @@ def parse_defines(pairs):
 
 
 def cmd_render(args):
+    import jax
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     from wave_tracer_tpu.render import render_scene
     from wave_tracer_tpu.render.output import write_exr, write_png
     from wave_tracer_tpu.scene import build_scene
