@@ -41,9 +41,9 @@ def main():
     scene.integrator.max_depth = 8
     built = build_scene(scene)
 
-    # warmup (compile) on a small slice, then timed run
-    img, stats = render_scene(built, spp=2, batch_lanes=1 << 17)
-    t0 = time.time()
+    # first pass compiles (persistent cache makes later runs warm);
+    # the second, identically-shaped pass is the timed one
+    render_scene(built, spp=16, batch_lanes=1 << 17)
     img, stats = render_scene(built, spp=16, batch_lanes=1 << 17)
     assert np.isfinite(img).all()
 

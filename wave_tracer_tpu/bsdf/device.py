@@ -211,6 +211,17 @@ def sample(tables: Tables, mat_id, wi, uv, k, u4):
     valid_spm = (pdf_spm_out > 1e-12) & jnp.where(is_spec, True, ok_sc) \
         & (jnp.abs(wi_l[..., 2]) > 0)
 
+    # ---- opacity mask (reference include/wt/bsdf/mask.hpp): with
+    # probability (1−opacity) the surface is passed through (null)
+    opacity = jnp.where(
+        mat.opacity_tex[eff] >= 0,
+        jnp.clip(eval_texture_scalar(tables.textures, tables.spectra,
+                                     mat.opacity_tex[eff], uv, k),
+                 0.0, 1.0), 1.0)
+    # decorrelated mask uniform (golden-ratio mix of two draws)
+    u_mask = (u4[..., 0] * 0.618034 + u4[..., 3] * 0.381966) % 1.0
+    passthrough = u_mask >= opacity
+
     # ---- null (passthrough)
     wo_null = -wi_l
     Mw_null = mueller.identity(wi_l.shape[:-1])
@@ -244,6 +255,19 @@ def sample(tables: Tables, mat_id, wi, uv, k, u4):
                       jnp.where(mtype == MT_DIELECTRIC, valid_die,
                                 jnp.where(mtype == MT_SPM, valid_spm,
                                           mat_id >= 0)))
+
+    # opacity-mask: with prob (1−opacity) pass through (weight 1, delta);
+    # otherwise the opacity factor cancels against the branch probability
+    # and the inner sample is used unchanged (pdf scaled by opacity)
+    has_mask = mat.opacity_tex[eff] >= 0
+    passthrough = passthrough & has_mask
+    wo = jnp.where(passthrough[..., None], wo_null, wo)
+    Mw = jnp.where(passthrough[..., None, None], Mw_null, Mw)
+    pdf = jnp.where(passthrough, jnp.maximum(1.0 - opacity, 1e-6),
+                    jnp.where(has_mask, pdf * opacity, pdf))
+    specular = jnp.where(passthrough, True, specular)
+    refracted = jnp.where(passthrough, False, refracted)
+    valid = valid | passthrough
 
     # un-flip for twosided back faces
     wo = jnp.concatenate([wo[..., :2], (wo[..., 2] * sgn)[..., None]],
@@ -329,8 +353,38 @@ def eval_f(tables: Tables, mat_id, wi, wo, uv, k):
                             zero_M))
     pdf = jnp.where(mtype == MT_DIFFUSE, pdf_d,
                     jnp.where(mtype == MT_SPM, pdf_spm, 0.0))
+
+    # opacity mask scales the scatter lobes (mask.hpp: f = opacity·f_in)
+    opacity = jnp.where(
+        mat.opacity_tex[eff] >= 0,
+        jnp.clip(eval_texture_scalar(tables.textures, tables.spectra,
+                                     mat.opacity_tex[eff], uv, k),
+                 0.0, 1.0), 1.0)
+    M = M * opacity[..., None, None]
+    pdf = pdf * opacity
     return M, pdf
 
 
 def vecz(v):
     return v[..., 2]
+
+
+def apply_normalmap(tables: Tables, mat_id, uv, k, sf):
+    """Perturb a shading frame by the material's normal map (reference
+    include/wt/bsdf/normalmap.hpp). Returns the (possibly) new frame."""
+    from wave_tracer_tpu.math import frame as frame_mod
+    from wave_tracer_tpu.texture.texture import eval_texture_rgb
+    mat = tables.materials
+    eff = jnp.maximum(mat.resolve(mat_id, k), 0)
+    tex = mat.normalmap_tex[eff]
+    rgb = eval_texture_rgb(tables.textures, tables.spectra, tex, uv)
+    n_local = 2.0 * rgb - 1.0
+    n_local = n_local / jnp.maximum(
+        jnp.linalg.norm(n_local, axis=-1, keepdims=True), 1e-6)
+    n_world = sf.to_world(n_local)
+    perturbed = frame_mod.build_shading_frame(n_world, sf.t)
+    use = (tex >= 0)[..., None]
+    return frame_mod.Frame(
+        t=jnp.where(use, perturbed.t, sf.t),
+        b=jnp.where(use, perturbed.b, sf.b),
+        n=jnp.where(use, perturbed.n, sf.n))

@@ -123,6 +123,7 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
 
         # shading frame
         sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
+        sf = bsdf_dev.apply_normalmap(tables, hit.mat_id, hit.uv, k, sf)
         wi = -st["rd"]
         wi_l = sf.to_local(wi)
 

@@ -183,6 +183,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
 
         # ---- shading frame at the surface
         sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
+        sf = bsdf_dev.apply_normalmap(tables, hit.mat_id, hit.uv, k, sf)
         wi = -st["rd"]
         wi_l = sf.to_local(wi)
 

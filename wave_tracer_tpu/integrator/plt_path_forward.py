@@ -187,6 +187,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
 
         # ---- surface interaction (scalar weight: M00 of the sampled bsdf)
         sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
+        sf = bsdf_dev.apply_normalmap(tables, hit.mat_id, hit.uv, k, sf)
         wi_l = sf.to_local(-st["rd"])
         u_b = jnp.concatenate([
             rng.uniform(dkeys, rng.D_BSDF_LOBE, 2),
