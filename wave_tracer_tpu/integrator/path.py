@@ -96,11 +96,12 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
     M0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4)) \
         * sensor.importance()
 
+    polarimetric = bool(getattr(sensor, "polarimetric", False))
     state = dict(
         ro=ro, rd=rd,
         M=M0,
         xf=_perp_axis(-rd),    # transverse x-axis of M's input frame
-        L=jnp.zeros((N,), jnp.float32),
+        L=jnp.zeros((N, 4), jnp.float32),   # Stokes accumulation
         active=jnp.ones((N,), bool),
         exclude=jnp.full((N,), -1, jnp.int32),
         prev_pdf=jnp.zeros((N,), jnp.float32),
@@ -108,9 +109,9 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
     )
 
     def contribution(M, Li):
-        """Intensity reaching the sensor for unpolarized light Li."""
+        """Stokes vector reaching the sensor for unpolarized light Li."""
         S = stokes.unpolarized(Li)
-        return jnp.einsum("nij,nj->ni", M, S)[:, 0]
+        return jnp.einsum("nij,nj->ni", M, S)
 
     def body(depth, st):
         dkeys = rng.depth_key(keys, depth)
@@ -138,8 +139,9 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
         w_mis_e = jnp.where(st["prev_specular"] | (~jnp.asarray(mis)),
                             1.0,
                             _power_heuristic(st["prev_pdf"], pdf_nee_same))
-        L = st["L"] + jnp.where(lane & (Le > 0),
-                                w_mis_e * contribution(st["M"], Le), 0.0)
+        L = st["L"] + jnp.where((lane & (Le > 0))[:, None],
+                                w_mis_e[..., None]
+                                * contribution(st["M"], Le), 0.0)
 
         # --- NEE
         u_pick = rng.uniform(dkeys, rng.D_EMITTER_PICK)
@@ -159,10 +161,12 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
                             _power_heuristic(pdf_nee, pdf_b_nee))
         M_nee, _ = compose_scatter(st["M"], st["xf"], -st["rd"], f_nee,
                                    -nee["wo"])
-        c_nee = contribution(M_nee, nee["Li"]) / jnp.maximum(pdf_nee, 1e-30)
+        c_nee = contribution(M_nee, nee["Li"]) \
+            / jnp.maximum(pdf_nee, 1e-30)[:, None]
         ok_nee = lane & nee["valid"] & (~occ) & (pdf_nee > 0) \
             & (f_nee[:, 0, 0] > 0)
-        L = L + jnp.where(ok_nee, w_mis_n * c_nee, 0.0)
+        L = L + jnp.where(ok_nee[:, None],
+                          jnp.asarray(w_mis_n)[..., None] * c_nee, 0.0)
 
         # --- BSDF sampling / continuation
         u_b = jnp.concatenate([
@@ -197,9 +201,14 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
 
     state = jax.lax.fori_loop(0, max_depth, body, state)
 
-    # response-weighted channel values
+    # response-weighted channel values; polarimetric sensors get all four
+    # Stokes components per channel (C*4 film channels, I/Q/U/V order)
     sens = sensor.response.sensitivities(k, tables.spectra, None)
-    values = (state["L"] * w_spectral)[:, None] * sens
+    Lw = state["L"] * w_spectral[:, None]
+    if polarimetric:
+        values = (Lw[:, None, :] * sens[..., None]).reshape(N, -1)
+    else:
+        values = Lw[:, 0:1] * sens
     return splat_pos, values, jnp.ones((N,), bool)
 
 

@@ -69,10 +69,11 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
     M0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4)) \
         * sensor.importance()
 
+    polarimetric = bool(getattr(sensor, "polarimetric", False))
     state = dict(
         ro=ro, rd=rd, M=M0,
         xf=_perp_axis(-rd),
-        L=jnp.zeros((N,), jnp.float32),
+        L=jnp.zeros((N, 4), jnp.float32),
         active=jnp.ones((N,), bool),
         exclude=jnp.full((N,), -1, jnp.int32),
         prev_pdf=jnp.zeros((N,), jnp.float32),
@@ -92,7 +93,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
 
     def contribution(M, Li):
         S = stokes.unpolarized(Li)
-        return jnp.einsum("nij,nj->ni", M, S)[:, 0]
+        return jnp.einsum("nij,nj->ni", M, S)
 
     def shadow_pt(a, b, ex1, ex2):
         """Occlusion between two points (both (N, 3))."""
@@ -198,8 +199,9 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         w_mis_e = jnp.where(st["prev_specular"], 1.0,
                             _power_heuristic(st["prev_pdf"],
                                              pdf_nee_same)) if mis else 1.0
-        L = st["L"] + jnp.where(surface & (Le > 0),
-                                w_mis_e * contribution(M_cur, Le), 0.0)
+        L = st["L"] + jnp.where((surface & (Le > 0))[:, None],
+                                jnp.asarray(w_mis_e)[..., None]
+                                * contribution(M_cur, Le), 0.0)
 
         # ---- NEE (surface lanes)
         u_pick = rng.uniform(dkeys, rng.D_EMITTER_PICK)
@@ -220,11 +222,12 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
             if mis else 1.0
         M_nee, _ = compose_scatter(M_cur, st["xf"], -st["rd"], f_nee,
                                    -nee["wo"])
-        c_nee = contribution(M_nee, nee["Li"]) / jnp.maximum(pdf_nee,
-                                                             1e-30)
+        c_nee = contribution(M_nee, nee["Li"]) \
+            / jnp.maximum(pdf_nee, 1e-30)[:, None]
         ok_nee = surface & nee["valid"] & (~occ) & (pdf_nee > 0) \
             & (f_nee[:, 0, 0] > 0)
-        L = L + jnp.where(ok_nee, w_mis_n * c_nee, 0.0)
+        L = L + jnp.where(ok_nee[:, None],
+                          jnp.asarray(w_mis_n)[..., None] * c_nee, 0.0)
 
         # ---- surface interaction
         u_b = jnp.concatenate([
@@ -337,5 +340,9 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
     state = jax.lax.fori_loop(0, max_depth, body, state)
 
     sens = sensor.response.sensitivities(k, tables.spectra, None)
-    values = (state["L"] * w_spectral)[:, None] * sens
+    Lw = state["L"] * w_spectral[:, None]
+    if polarimetric:
+        values = (Lw[:, None, :] * sens[..., None]).reshape(N, -1)
+    else:
+        values = Lw[:, 0:1] * sens
     return splat_pos, values, jnp.ones((N,), bool)

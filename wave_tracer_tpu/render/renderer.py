@@ -56,7 +56,8 @@ class Renderer:
         built = self.built
         scene = built.scene
         W, H = sensor.width, sensor.height
-        C = sensor.response.channels
+        C = sensor.response.channels \
+            * (4 if getattr(sensor, "polarimetric", False) else 1)
         film = film_mod.make_film(W, H, C, sensor.rfilter_sigma)
         base_key = rng.make_base_key(self.seed)
         cfg = scene.integrator
