@@ -1,0 +1,89 @@
+"""Distributed rendering tests on the 8-device virtual CPU mesh.
+
+The BASELINE scaling requirement: beams sharded over a DP mesh axis with
+per-chip partial films psum-merged must reproduce the single-device result
+(the counter-based RNG keys by (pixel, sample), so sharding cannot change
+the image)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.test_render import make_box_scene
+from wave_tracer_tpu.integrator.path import trace_paths
+from wave_tracer_tpu.parallel.dist import make_mesh, sharded_render_step
+from wave_tracer_tpu.sampling import rng
+from wave_tracer_tpu.scene import build_scene
+from wave_tracer_tpu.sensor import film as film_mod
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = make_box_scene(res=8, spp=1)
+    built = build_scene(scene)
+    return scene, built
+
+
+def _lanes(sensor, n):
+    pix = jnp.arange(n, dtype=jnp.int32) % (sensor.width * sensor.height)
+    pxy = jnp.stack([pix % sensor.width, pix // sensor.width], axis=-1)
+    jitter = jnp.full((n, 2), 0.5)
+    sids = jnp.zeros((n,), jnp.int32)
+    return pxy, jitter, sids
+
+
+class TestSharding:
+    def test_multidevice_matches_single(self, setup):
+        scene, built = setup
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        sensor = scene.sensors[0]
+        N = 64
+        pxy, jitter, sids = _lanes(sensor, N)
+        key = rng.make_base_key(0)
+
+        # single-device reference: trace + splat
+        pos, values, ok = trace_paths(
+            built.data, pxy, jitter, key, sids, sensor=sensor,
+            max_depth=3, eps=1e-4)
+        film0 = film_mod.make_film(sensor.width, sensor.height, 3,
+                                   sensor.rfilter_sigma)
+        ref = film_mod.splat(film0, pos, values, ok)
+
+        # 8-way sharded
+        mesh = make_mesh(8)
+        step = sharded_render_step(mesh, sensor, max_depth=3, eps=1e-4)
+        film1 = film_mod.make_film(sensor.width, sensor.height, 3,
+                                   sensor.rfilter_sigma)
+        out = step(built.data, film1, key, pxy, jitter, sids)
+
+        np.testing.assert_allclose(np.asarray(out.value),
+                                   np.asarray(ref.value),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.weight),
+                                   np.asarray(ref.weight),
+                                   rtol=2e-4, atol=1e-6)
+
+    def test_mesh_sizes(self, setup):
+        """The same step compiles and runs at several mesh widths
+        (dp-scaling path of the BASELINE harness)."""
+        scene, built = setup
+        sensor = scene.sensors[0]
+        key = rng.make_base_key(1)
+        results = []
+        for nd in (1, 2, 4):
+            if len(jax.devices()) < nd:
+                pytest.skip("not enough devices")
+            mesh = make_mesh(nd)
+            step = sharded_render_step(mesh, sensor, max_depth=2,
+                                       eps=1e-4)
+            N = 32
+            pxy, jitter, sids = _lanes(sensor, N)
+            film = film_mod.make_film(sensor.width, sensor.height, 3,
+                                      sensor.rfilter_sigma)
+            out = step(built.data, film, key, pxy, jitter, sids)
+            results.append(np.asarray(out.value))
+        for r in results[1:]:
+            np.testing.assert_allclose(r, results[0], rtol=2e-4,
+                                       atol=1e-6)
