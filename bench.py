@@ -42,9 +42,12 @@ def main():
     built = build_scene(scene)
 
     # first pass compiles (persistent cache makes later runs warm);
-    # the second, identically-shaped pass is the timed one
-    render_scene(built, spp=16, batch_lanes=1 << 17)
-    img, stats = render_scene(built, spp=16, batch_lanes=1 << 17)
+    # the second, identically-shaped pass is the timed one.
+    # 16k lanes/batch: XLA compile of this kernel degrades badly at very
+    # large lane counts; 16k keeps the chip busy at ~0.5s/launch.
+    LANES = 1 << 14
+    render_scene(built, spp=16, batch_lanes=LANES)
+    img, stats = render_scene(built, spp=16, batch_lanes=LANES)
     assert np.isfinite(img).all()
 
     value = stats["paths_per_sec"]

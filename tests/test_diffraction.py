@@ -12,8 +12,12 @@ import pytest
 
 SCENES = "/root/reference/scenes"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(SCENES), reason="reference scenes not mounted")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(SCENES),
+                       reason="reference scenes not mounted"),
+    pytest.mark.skipif(not os.environ.get("WT_SLOW_TESTS"),
+                       reason="slow; set WT_SLOW_TESTS=1"),
+]
 
 
 @pytest.mark.slow

@@ -6,10 +6,16 @@ discrete decisions (BVH hits, lobe/RR choices) are detached. Verified
 against central finite differences.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("WT_SLOW_TESTS"),
+    reason="slow (AD through the full integrator); set WT_SLOW_TESTS=1")
 
 from tests.test_render import make_box_scene
 from wave_tracer_tpu.integrator.path import trace_paths
