@@ -254,7 +254,9 @@ def trace_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
 # dispatch + hit attribute interpolation
 # ---------------------------------------------------------------------------
 
-BRUTE_THRESHOLD = 16384
+# measured on TPU v5e (cornell-box, 16k lanes): lock-step BVH traversal
+# overtakes the dense tiled test beyond a few thousand triangles
+BRUTE_THRESHOLD = 2048
 
 
 def trace(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):

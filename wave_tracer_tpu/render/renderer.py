@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from wave_tracer_tpu.integrator.path import trace_paths
+from wave_tracer_tpu.integrator.plt_bdpt import trace_bdpt
 from wave_tracer_tpu.integrator.plt_path import trace_paths_wave
 from wave_tracer_tpu.integrator.plt_path_forward import trace_forward
 from wave_tracer_tpu.sampling import rng
@@ -66,6 +67,9 @@ class Renderer:
         wave = (cfg.fsd and not sensor.ray_trace_only
                 and not cfg.ray_trace_only
                 and 0 < n_edges <= MAX_FSD_EDGES)
+        bdpt = (cfg.type == "plt_bdpt" and not wave
+                and not sensor.ray_trace_only and not cfg.ray_trace_only
+                and not getattr(sensor, "polarimetric", False))
 
         npixels = W * H
         lanes = self.batch_lanes
@@ -73,7 +77,7 @@ class Renderer:
         spp_per_batch = min(max(lanes // pix_per_batch, 1), spp)
 
         kern = make_render_kernel(sensor, cfg.max_depth, eps, cfg.mis,
-                                  wave)
+                                  wave, bdpt)
 
         t0 = time.time()
         total_lanes = 0
@@ -90,10 +94,13 @@ class Renderer:
                 progress(s1, spp)
         film.value.block_until_ready()
         dt = time.time() - t0
-        img = np.asarray(film_mod.develop(film, 0.0))
+        # bdpt light-tracing splats live in the direct image, normalized
+        # per-pixel-sample like the reference's light image
+        img = np.asarray(film_mod.develop(film, spp if bdpt else 0.0))
+        mode = "bdpt" if bdpt else ("wave" if wave else "ray")
         return img, dict(seconds=dt, paths=total_lanes,
                          paths_per_sec=total_lanes / max(dt, 1e-9),
-                         mode="wave" if wave else "ray")
+                         mode=mode)
 
     # ------------------------------------------------------------------
     def _render_forward(self, data, sensor, spp, progress):
@@ -133,7 +140,7 @@ class Renderer:
                          mode="forward-wave" if wave else "forward")
 
 
-def make_render_kernel(sensor, max_depth, eps, mis, wave):
+def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False):
     """Jitted backward launch: trace pix×spp lanes, splat into film."""
 
     @partial(jax.jit, static_argnums=(5, 8), donate_argnums=(1,))
@@ -160,7 +167,13 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave):
                                            pxy[:, 1] * W + pxy[:, 0],
                                            sid),
                             rng.D_PIXEL_JITTER, 2)
-        if wave:
+        if bdpt:
+            pos, values, ok, (lt_pos, lt_val, lt_ok) = trace_bdpt(
+                data, pxy, jit_u, base_key, sid, sensor=sensor,
+                max_depth=min(max_depth, 4), eps=eps)
+            film = film_mod.splat_direct(film, lt_pos, lt_val,
+                                         lt_ok & live)
+        elif wave:
             pos, values, ok = trace_paths_wave(
                 data, pxy, jit_u, base_key, sid, sensor=sensor,
                 edge_table=data.edges, max_depth=max_depth, eps=eps,
