@@ -66,8 +66,6 @@ def main():
     # 16k lanes/batch: XLA compile of this kernel degrades badly at very
     # large lane counts; 16k keeps the chip busy at ~0.5s/launch.
     LANES = 1 << 14
-    img, stats = render_scene(built, spp=4, batch_lanes=LANES)
-    _partial["value"] = stats["paths_per_sec"]
     img, stats = render_scene(built, spp=16, batch_lanes=LANES)
     _partial["value"] = stats["paths_per_sec"]
     img, stats = render_scene(built, spp=16, batch_lanes=LANES)
