@@ -17,8 +17,11 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
+
+from wave_tracer_tpu.math import vec
 
 # keep wedges with interior angle at most this (reference
 # edge_classification.hpp: discards α>160° near-planar wedges)
@@ -170,6 +173,136 @@ def classify_edges(positions: np.ndarray, geo_n: np.ndarray,
         length=jnp.asarray(length, jnp.float32),
         center=jnp.asarray(0.5 * (p0 + p1), jnp.float32),
         tri1=jnp.asarray(tA, jnp.int32), tri2=jnp.asarray(tB, jnp.int32))
+
+
+@struct.dataclass
+class EdgeClusters:
+    """Two-level edge index: bounding-sphere clusters over grid cells.
+
+    Device queries test the beam envelope against M cluster spheres (dense)
+    and only then against the edges of the best few clusters — a
+    fixed-shape stand-in for the reference's BVH ball/cone queries that
+    scales past the brute-force edge budget."""
+    center: jnp.ndarray    # (M, 3)
+    radius: jnp.ndarray    # (M,)
+    start: jnp.ndarray     # (M,) i32 into `order`
+    count: jnp.ndarray     # (M,) i32
+    order: jnp.ndarray     # (E,) i32 edge rows grouped by cluster
+
+    @property
+    def num_clusters(self):
+        return self.center.shape[0]
+
+
+def build_edge_clusters(edges: EdgeTable, grid: int | None = None
+                        ) -> EdgeClusters:
+    """Host: bucket edges by the grid cell of their centre; grid sized so
+    clusters average ~32 edges."""
+    E = edges.count
+    if grid is None:
+        grid = max(2, int(round((max(E, 1) / 32.0) ** (1.0 / 3.0))))
+    if E == 0:
+        return EdgeClusters(center=jnp.zeros((1, 3)), radius=jnp.zeros(1),
+                            start=jnp.zeros(1, jnp.int32),
+                            count=jnp.zeros(1, jnp.int32),
+                            order=jnp.zeros(0, jnp.int32))
+    c = np.asarray(edges.center)
+    p0 = np.asarray(edges.p0)
+    p1 = np.asarray(edges.p1)
+    lo = c.min(axis=0)
+    hi = c.max(axis=0)
+    ext = np.maximum(hi - lo, 1e-9)
+    cell = np.minimum((c - lo) / ext * grid, grid - 1e-4).astype(np.int64)
+    key = (cell[:, 0] * grid + cell[:, 1]) * grid + cell[:, 2]
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(key_s))[0] + 1])
+    counts = np.diff(np.concatenate([starts, [E]]))
+    M = len(starts)
+    center = np.zeros((M, 3), np.float32)
+    radius = np.zeros(M, np.float32)
+    for m in range(M):
+        ids = order[starts[m]: starts[m] + counts[m]]
+        pts = np.concatenate([p0[ids], p1[ids]])
+        ctr = pts.mean(axis=0)
+        center[m] = ctr
+        radius[m] = np.linalg.norm(pts - ctr, axis=1).max()
+    return EdgeClusters(
+        center=jnp.asarray(center), radius=jnp.asarray(radius),
+        start=jnp.asarray(starts, jnp.int32),
+        count=jnp.asarray(counts, jnp.int32),
+        order=jnp.asarray(order, jnp.int32))
+
+
+def edges_near_ray_clustered(edges: EdgeTable, clusters: EdgeClusters,
+                             ro, rd, x0, tan_alpha, zmax, K: int,
+                             n_clusters: int = 8,
+                             edges_per_cluster: int = 64):
+    """Clustered variant of edges_near_ray: intersect the swept envelope
+    with cluster spheres, take the earliest few clusters, then exact
+    segment tests on their (capped) edge lists. Returns (idx, z, count)."""
+    N = ro.shape[0]
+    if edges.count == 0:
+        return (jnp.full((N, K), -1, jnp.int32),
+                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    M = clusters.num_clusters
+
+    # sphere vs swept cone: distance from sphere centre to ray ≤
+    # radius(z) + sphere radius at the closest-approach z
+    w = clusters.center[None, :, :] - ro[:, None, :]        # (N, M, 3)
+    zc = jnp.clip(jnp.sum(w * rd[:, None, :], axis=-1), 0.0, None)
+    closest = ro[:, None, :] + zc[..., None] * rd[:, None, :]
+    dist = jnp.linalg.norm(closest - clusters.center[None], axis=-1)
+    reach = x0[:, None] + tan_alpha[:, None] * zc \
+        + clusters.radius[None]
+    okc = (dist <= reach) & (zc - clusters.radius[None] <= zmax[:, None])
+    zk = jnp.where(okc, zc, jnp.inf)
+    _, sel = jax.lax.top_k(-zk, n_clusters)                 # earliest few
+
+    best_z = jnp.full((N, K), jnp.inf)
+    best_i = jnp.full((N, K), -1, jnp.int32)
+    for ci in range(n_clusters):
+        cl = sel[:, ci]
+        valid_cl = jnp.isfinite(jnp.take_along_axis(
+            zk, cl[:, None], axis=1)[:, 0])
+        base = clusters.start[cl]
+        cnt = clusters.count[cl]
+        for j in range(edges_per_cluster):
+            eidx = clusters.order[jnp.clip(base + j, 0,
+                                           clusters.order.shape[0] - 1)]
+            in_range = (j < cnt) & valid_cl
+            # exact segment-vs-swept-envelope test
+            p0 = edges.p0[eidx]
+            ed = edges.p1[eidx] - edges.p0[eidx]
+            ll = jnp.maximum(edges.length[eidx], 1e-12)
+            w0 = ro - p0
+            b = vec.dot(rd, ed)
+            c2 = ll * ll
+            ddot = vec.dot(rd, w0)
+            edot = vec.dot(ed, w0)
+            denom = c2 - b * b
+            u = jnp.clip((b * -ddot + edot)
+                         / jnp.where(denom < 1e-20, 1e-20, denom),
+                         0.0, 1.0)
+            z = jnp.maximum(-ddot + b * u, 0.0)
+            u = jnp.clip((z * b + edot) / c2, 0.0, 1.0)
+            q = p0 + u[:, None] * ed
+            pr = ro + z[:, None] * rd
+            d = jnp.linalg.norm(pr - q, axis=-1)
+            rad = x0 + tan_alpha * z
+            ok = in_range & (d <= rad) & (z > 1e-7) & (z < zmax)
+            zq = jnp.where(ok, z, jnp.inf)
+            # insert into running top-K (replace current max if better)
+            worst = jnp.argmax(best_z, axis=1)
+            rows = jnp.arange(N)
+            worse = zq < best_z[rows, worst]
+            best_z = best_z.at[rows, worst].set(
+                jnp.where(worse, zq, best_z[rows, worst]))
+            best_i = best_i.at[rows, worst].set(
+                jnp.where(worse, eidx, best_i[rows, worst]))
+    valid = jnp.isfinite(best_z)
+    return (jnp.where(valid, best_i, -1), best_z,
+            valid.sum(axis=1).astype(jnp.int32))
 
 
 def _lexless(a, b):

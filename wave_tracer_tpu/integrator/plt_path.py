@@ -117,9 +117,14 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         # ---- edge sweep inside the beam envelope
         zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"], 4.0)
         if fsd and edge_table.count > 0:
-            eidx, ez, ecnt = edges_mod.edges_near_ray(
-                edge_table, st["ro"], st["rd"], st["env_x0"],
-                st["env_ta"], zmax, K)
+            if edge_table.count > 2048:
+                eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
+                    edge_table, data.edge_clusters, st["ro"], st["rd"],
+                    st["env_x0"], st["env_ta"], zmax, K)
+            else:
+                eidx, ez, ecnt = edges_mod.edges_near_ray(
+                    edge_table, st["ro"], st["rd"], st["env_x0"],
+                    st["env_ta"], zmax, K)
         else:
             eidx = jnp.full((N, K), -1, jnp.int32)
             ez = jnp.full((N, K), jnp.inf)

@@ -135,9 +135,14 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"],
                          8.0 * data.emitters.scene_radius)
         if fsd and edge_table.count > 0:
-            eidx, ez, ecnt = edges_mod.edges_near_ray(
-                edge_table, st["ro"], st["rd"], st["env_x0"],
-                st["env_ta"], zmax, K)
+            if edge_table.count > 2048:
+                eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
+                    edge_table, data.edge_clusters, st["ro"], st["rd"],
+                    st["env_x0"], st["env_ta"], zmax, K)
+            else:
+                eidx, ez, ecnt = edges_mod.edges_near_ray(
+                    edge_table, st["ro"], st["rd"], st["env_x0"],
+                    st["env_ta"], zmax, K)
         else:
             eidx = jnp.full((N, K), -1, jnp.int32)
             ez = jnp.full((N, K), jnp.inf)

@@ -29,9 +29,9 @@ from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.sensor import film as film_mod
 from wave_tracer_tpu.sensor.virtual_plane import VirtualPlaneSensor
 
-# brute-force edge sweeps get expensive past this edge count; classical
-# transport (no FSD) is used beyond it until the gridded edge query lands
-MAX_FSD_EDGES = 8192
+# beyond this edge count the clustered two-level edge query kicks in
+# inside the integrators; this ceiling only guards truly huge scenes
+MAX_FSD_EDGES = 1 << 20
 
 
 @dataclasses.dataclass

@@ -39,6 +39,7 @@ class SceneData:
     emitters: EmitterTable
     spectral: SpectralSampler      # for the primary sensor
     edges: edges_mod.EdgeTable     # classified wedge edges (FSD)
+    edge_clusters: edges_mod.EdgeClusters   # two-level edge index
 
 
 @dataclass
@@ -147,6 +148,7 @@ def build_scene(scene: Scene) -> BuiltScene:
     edge_table = edges_mod.classify_edges(
         soup.positions[perm0] if len(perm0) else soup.positions,
         soup.geo_n[perm0] if len(perm0) else soup.geo_n)
+    edge_clusters = edges_mod.build_edge_clusters(edge_table)
 
     spec_table = bake_spectra(spectra)
     cspec_table = bake_complex(cspectra)
@@ -170,6 +172,7 @@ def build_scene(scene: Scene) -> BuiltScene:
         raise ValueError("scene has no sensors")
 
     data = SceneData(geo=geo, tables=tables, emitters=etable,
-                     spectral=per_sensor[0], edges=edge_table)
+                     spectral=per_sensor[0], edges=edge_table,
+                     edge_clusters=edge_clusters)
     return BuiltScene(scene=scene, data=data, bvh=bvh,
                       spectral_per_sensor=per_sensor)
