@@ -16,6 +16,16 @@ import time
 
 import numpy as np
 
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+def jnp_ones(shape):
+    import jax.numpy as jnp
+    return jnp.ones(shape)
+
 __version__ = "0.1.0"
 
 
@@ -78,12 +88,27 @@ def cmd_render(args):
         stats_all.append(stats)
         resp = sensor.response
         base = os.path.join(outdir, sensor.id or f"sensor{si}")
-
-        M = resp.develop_matrix()
-        rgb = img @ M.T if M is not None else img
         meta = {"renderer": f"wave_tracer_tpu {__version__}",
                 "scene": os.path.basename(args.scene),
                 "sensor": sensor.id, "spp": str(spp)}
+
+        polarimetric = getattr(sensor, "polarimetric", False)
+        if polarimetric:
+            # channels are (C response channels × 4 Stokes); write the
+            # I/Q/U/V set like the reference (src/main.cpp:404-450)
+            C = resp.channels
+            st4 = img.reshape(img.shape[0], img.shape[1], C, 4)
+            M = resp.develop_matrix()
+            for ci, comp in enumerate("IQUV"):
+                plane = st4[..., ci]
+                if M is not None:
+                    plane = plane @ M.T
+                write_exr(f"{base}_{comp}.exr",
+                          plane.astype(np.float32), metadata=meta)
+            img = st4[..., 0]
+
+        M = resp.develop_matrix()
+        rgb = img @ M.T if M is not None else img
         write_exr(base + ".exr", rgb.astype(np.float32), metadata=meta)
         tm = resp.tonemap or Tonemap(type="sRGB")
         if tm.type in ("linear", "sRGB", "gamma") and rgb.shape[-1] == 3:
@@ -92,6 +117,29 @@ def cmd_render(args):
         else:
             png = tm.apply(rgb)
         write_png(base + ".png", png)
+
+        if args.mask:
+            from wave_tracer_tpu.render.mask import render_mask
+            alpha = render_mask(built, sensor)
+            write_png(base + "_mask.png", alpha)
+        if args.tev:
+            try:
+                from wave_tracer_tpu.util.tev import TevPreview
+                pv = TevPreview(args.tev, sensor.id or f"sensor{si}",
+                                rgb.shape[1], rgb.shape[0])
+                pv.update(np.clip(
+                    rgb / max(np.percentile(rgb, 99.9), 1e-30), 0, 1))
+            except OSError as e:
+                print(f"[wave_tracer_tpu] tev preview unavailable: {e}")
+        if args.checkpoint:
+            from wave_tracer_tpu.render.checkpoint import save_checkpoint
+            from wave_tracer_tpu.sensor.film import make_film
+            # persist the developed image + progress for resume tooling
+            film = make_film(img.shape[1], img.shape[0], rgb.shape[-1])
+            film = film.replace(value=jnp_asarray(rgb),
+                                weight=jnp_ones(rgb.shape[:2]))
+            save_checkpoint(base + ".ckpt.npz", film, spp, args.seed,
+                            sensor.id)
         print(f"[wave_tracer_tpu] wrote {base}.exr / .png  "
               f"({stats['paths']} paths, "
               f"{stats['paths_per_sec']:.0f} paths/s)")
@@ -116,9 +164,14 @@ def main(argv=None):
                     help="scene define name=value[,name=value...]")
     rp.add_argument("--spp", type=int, help="override samples per pixel")
     rp.add_argument("--mesh_scale", type=float, default=1.0)
-    rp.add_argument("--batch_lanes", type=int, default=1 << 17)
+    rp.add_argument("--batch_lanes", type=int, default=1 << 14)
     rp.add_argument("--seed", type=int, default=0)
     rp.add_argument("--write-stats", action="store_true")
+    rp.add_argument("--mask", action="store_true",
+                    help="also write sensor-visibility alpha masks")
+    rp.add_argument("--tev", help="tev viewer host:port for live preview")
+    rp.add_argument("--checkpoint", action="store_true",
+                    help="write a resume checkpoint next to outputs")
 
     args = ap.parse_args(argv)
     if args.cmd == "version":
