@@ -82,6 +82,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         w=em["weight"] * w_spectral,
         acc=jnp.zeros((N,), jnp.float32),       # accumulated splat value
         pos=jnp.zeros((N, 2), jnp.float32),     # splat element position
+        sig=jnp.full((N,), 0.25, jnp.float32),  # splat σ in elements
         hit_plane=jnp.zeros((N,), bool),
         active=em["valid"],
         exclude=jnp.full((N,), -1, jnp.int32),
@@ -170,10 +171,15 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         f_seg = fsd_factor(st, plane_p, hit.tri) if fsd \
             else jnp.ones((N,))
         contrib = st["w"] * W_sens * f_seg
-        # record first crossing only
+        # record first crossing only; splat σ = wavefront σ (envelope/3)
+        # expressed in sensor elements (reference Si Gaussian integration)
         newly = crosses & ~st["hit_plane"]
+        elem_m = sensor.extent[0] / sensor.width
+        fp_pl = st["env_x0"] + st["env_ta"] * tpl
+        sig_el = (fp_pl / 3.0) / elem_m
         acc = jnp.where(newly, contrib, st["acc"])
         pos = jnp.where(newly[:, None], pxy, st["pos"])
+        sig = jnp.where(newly, sig_el, st["sig"])
         hit_plane = st["hit_plane"] | crosses
 
         # ---- deferred FSD modulation for the continuing beam
@@ -269,7 +275,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         return dict(
             ro=sel(ro_new, st["ro"]), rd=sel(rd_new, st["rd"]),
             w=sel(w_new, st["w"]),
-            acc=acc, pos=pos, hit_plane=hit_plane,
+            acc=acc, pos=pos, sig=sig, hit_plane=hit_plane,
             active=active,
             exclude=sel(exclude_new, st["exclude"]),
             env_x0=sel(x0_new, st["env_x0"]),
@@ -288,4 +294,4 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
 
     sens = sensor.response.sensitivities(k, tables.spectra, None)
     values = state["acc"][:, None] * sens
-    return state["pos"], values, state["hit_plane"]
+    return state["pos"], values, state["hit_plane"], state["sig"]

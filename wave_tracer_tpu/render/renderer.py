@@ -192,11 +192,12 @@ def make_forward_kernel(sensor, max_depth, eps, wave):
 
     @jax.jit
     def kern(data, film, base_key, lane_ids, sids, live):
-        pos, values, ok = trace_forward(
+        pos, values, ok, sig = trace_forward(
             data, lane_ids, base_key, sids, sensor=sensor,
             edge_table=data.edges, max_depth=max_depth, eps=eps,
             fsd=wave)
-        return film_mod.splat_direct(film, pos, values, ok & live)
+        return film_mod.splat_direct_gaussian(film, pos, sig, values,
+                                              ok & live)
 
     return kern
 

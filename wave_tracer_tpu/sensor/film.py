@@ -106,6 +106,45 @@ def splat_direct(film: Film, pos: jnp.ndarray, values: jnp.ndarray,
     return film.replace(direct=film.direct.at[iy, ix].add(vals))
 
 
+def splat_direct_gaussian(film: Film, pos: jnp.ndarray,
+                          sigma_px: jnp.ndarray, values: jnp.ndarray,
+                          mask: jnp.ndarray, radius: int = 2) -> Film:
+    """Gaussian-weighted direct splat: the beam's wavefront integrated over
+    the elements it covers (reference virtual_plane `Si`,
+    virtual_plane_sensor.cpp; gaussian_wavefront integrate). σ is
+    per-sample in element units; weights renormalize over the window so
+    total deposited power is conserved."""
+    H, W, C = film.direct.shape
+    px = pos[..., 0] - 0.5
+    py = pos[..., 1] - 0.5
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    sig = jnp.clip(sigma_px, 0.05, float(radius))
+    vmask = mask & jnp.all(jnp.isfinite(values), axis=-1)
+    vals = jnp.where(vmask[..., None], values, 0.0)
+
+    # accumulate window weights, then renormalize
+    ws = []
+    coords = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            xx = ix + dx
+            yy = iy + dy
+            d2 = (xx.astype(jnp.float32) - px) ** 2 \
+                + (yy.astype(jnp.float32) - py) ** 2
+            w = jnp.exp(-0.5 * d2 / (sig * sig))
+            inside = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H)
+            ws.append(jnp.where(inside, w, 0.0))
+            coords.append((jnp.clip(xx, 0, W - 1), jnp.clip(yy, 0, H - 1)))
+    wsum = sum(ws)
+    wsum = jnp.maximum(wsum, 1e-12)
+    direct = film.direct
+    for w, (xx, yy) in zip(ws, coords):
+        direct = direct.at[yy, xx].add(
+            (w / wsum)[..., None] * vals)
+    return film.replace(direct=direct)
+
+
 def develop(film: Film, total_samples_per_element: float = 0.0):
     """Final image: filtered value / filter weight, plus the light image
     normalized by samples-per-element (film_storage.hpp develop_d2)."""
