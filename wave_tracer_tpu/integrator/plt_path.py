@@ -115,7 +115,8 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         hit_ok = lane & hit.valid
 
         # ---- edge sweep inside the beam envelope
-        zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"], 4.0)
+        zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"],
+                         8.0 * et.scene_radius)
         if fsd and edge_table.count > 0:
             if edge_table.count > 2048:
                 eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
