@@ -153,27 +153,39 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
             dst = jnp.where(has_interaction[:, None], wp,
                             st["ro"] + 4.0 * st["rd"])
             ev = fsd_mod.fsd_eval(st["fsd_ap"], k, st["prev_vert"], dst)
-            # per-edge shadow tests (both legs)
-            unshadowed = jnp.ones((N, K), bool)
-            for kk in range(K):
-                pk = ev["p"][:, kk]
-                s1 = shadow_pt(st["prev_vert"], pk,
-                               jnp.full((N,), -1, jnp.int32),
-                               jnp.full((N,), -1, jnp.int32))
-                s2 = shadow_pt(pk, dst, jnp.full((N,), -1, jnp.int32),
-                               hit.tri)
-                unshadowed = unshadowed.at[:, kk].set(~s1 & ~s2)
-            # direct term: dst inside previous envelope and unoccluded
-            prev_d = vec.normalize(dst - st["prev_vert"], eps=1e-24)
-            pdist = jnp.linalg.norm(dst - st["prev_vert"], axis=-1)
-            prev_r = st["prev_env_x0"] + st["prev_env_ta"] * pdist
-            # central ray of the previous beam is the current ray; the
-            # interaction point lies on it, so "contains" holds whenever
-            # the segment is the continuation — true unless FSD sampled a
-            # side direction; approximate by cone radius > 0 check
-            direct_vis = st["fsd_valid"] \
-                & ~shadow_pt(st["prev_vert"], dst,
-                             jnp.full((N,), -1, jnp.int32), hit.tri)
+            # per-edge shadow tests, both legs + the direct segment —
+            # batched into ONE trace call (a single traversal loop in the
+            # compiled program instead of 2K+1)
+            src_e = jnp.broadcast_to(st["prev_vert"][:, None, :],
+                                     (N, K, 3))
+            dst_e = jnp.broadcast_to(dst[:, None, :], (N, K, 3))
+            a_pts = jnp.concatenate([
+                src_e.reshape(-1, 3),            # leg 1 starts
+                ev["p"].reshape(-1, 3),          # leg 2 starts
+                st["prev_vert"],                 # direct
+            ], axis=0)
+            b_pts = jnp.concatenate([
+                ev["p"].reshape(-1, 3),
+                dst_e.reshape(-1, 3),
+                dst,
+            ], axis=0)
+            ex2 = jnp.concatenate([
+                jnp.full((N * K,), -1, jnp.int32),
+                jnp.broadcast_to(hit.tri[:, None], (N, K)).reshape(-1),
+                hit.tri,
+            ], axis=0)
+            seg = b_pts - a_pts
+            seg_d = jnp.linalg.norm(seg, axis=-1)
+            seg_n = seg / jnp.maximum(seg_d, 1e-20)[:, None]
+            occ_all = trace_mod.occluded(
+                geo, a_pts, seg_n, jnp.full((a_pts.shape[0],), eps),
+                seg_d - 2.0 * eps,
+                jnp.full((a_pts.shape[0],), -1, jnp.int32), ex2)
+            s1 = occ_all[:N * K].reshape(N, K)
+            s2 = occ_all[N * K:2 * N * K].reshape(N, K)
+            occ_direct = occ_all[2 * N * K:]
+            unshadowed = ~s1 & ~s2
+            direct_vis = st["fsd_valid"] & ~occ_direct
             ts, th = fsd_mod.coherent_sum(ev, k, st["prev_vert"], dst,
                                           direct_vis, unshadowed)
             f_mod = fsd_mod.fsd_intensity(ts, th)

@@ -102,20 +102,30 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                                   dist - 2.0 * eps, ex1, ex2)
 
     def fsd_factor(st, dst, hit_tri):
-        """Coherent modulation of the segment prev_vert→dst."""
+        """Coherent modulation of the segment prev_vert→dst; all edge-leg
+        and direct shadow rays batched into one trace call."""
         ev = fsd_mod.fsd_eval(st["fsd_ap"], k, st["prev_vert"], dst)
-        unshadowed = jnp.ones((N, K), bool)
-        for kk in range(K):
-            pk = ev["p"][:, kk]
-            s1 = shadow_pt(st["prev_vert"], pk,
-                           jnp.full((N,), -1, jnp.int32),
-                           jnp.full((N,), -1, jnp.int32))
-            s2 = shadow_pt(pk, dst, jnp.full((N,), -1, jnp.int32),
-                           hit_tri)
-            unshadowed = unshadowed.at[:, kk].set(~s1 & ~s2)
-        direct_vis = st["fsd_valid"] \
-            & ~shadow_pt(st["prev_vert"], dst,
-                         jnp.full((N,), -1, jnp.int32), hit_tri)
+        src_e = jnp.broadcast_to(st["prev_vert"][:, None, :], (N, K, 3))
+        dst_e = jnp.broadcast_to(dst[:, None, :], (N, K, 3))
+        a_pts = jnp.concatenate([src_e.reshape(-1, 3),
+                                 ev["p"].reshape(-1, 3),
+                                 st["prev_vert"]], axis=0)
+        b_pts = jnp.concatenate([ev["p"].reshape(-1, 3),
+                                 dst_e.reshape(-1, 3), dst], axis=0)
+        ex2 = jnp.concatenate([
+            jnp.full((N * K,), -1, jnp.int32),
+            jnp.broadcast_to(hit_tri[:, None], (N, K)).reshape(-1),
+            hit_tri], axis=0)
+        seg = b_pts - a_pts
+        seg_d = jnp.linalg.norm(seg, axis=-1)
+        seg_n = seg / jnp.maximum(seg_d, 1e-20)[:, None]
+        occ_all = trace_mod.occluded(
+            geo, a_pts, seg_n, jnp.full((a_pts.shape[0],), eps),
+            seg_d - 2.0 * eps,
+            jnp.full((a_pts.shape[0],), -1, jnp.int32), ex2)
+        unshadowed = ~occ_all[:N * K].reshape(N, K) \
+            & ~occ_all[N * K:2 * N * K].reshape(N, K)
+        direct_vis = st["fsd_valid"] & ~occ_all[2 * N * K:]
         ts, th = fsd_mod.coherent_sum(ev, k, st["prev_vert"], dst,
                                       direct_vis, unshadowed)
         f = fsd_mod.fsd_intensity(ts, th)
