@@ -257,49 +257,44 @@ def edges_near_ray_clustered(edges: EdgeTable, clusters: EdgeClusters,
         + clusters.radius[None]
     okc = (dist <= reach) & (zc - clusters.radius[None] <= zmax[:, None])
     zk = jnp.where(okc, zc, jnp.inf)
-    _, sel = jax.lax.top_k(-zk, n_clusters)                 # earliest few
+    negz, sel = jax.lax.top_k(-zk, n_clusters)              # earliest few
+    valid_cl = jnp.isfinite(-negz)                          # (N, n_cl)
 
-    best_z = jnp.full((N, K), jnp.inf)
-    best_i = jnp.full((N, K), -1, jnp.int32)
-    for ci in range(n_clusters):
-        cl = sel[:, ci]
-        valid_cl = jnp.isfinite(jnp.take_along_axis(
-            zk, cl[:, None], axis=1)[:, 0])
-        base = clusters.start[cl]
-        cnt = clusters.count[cl]
-        for j in range(edges_per_cluster):
-            eidx = clusters.order[jnp.clip(base + j, 0,
-                                           clusters.order.shape[0] - 1)]
-            in_range = (j < cnt) & valid_cl
-            # exact segment-vs-swept-envelope test
-            p0 = edges.p0[eidx]
-            ed = edges.p1[eidx] - edges.p0[eidx]
-            ll = jnp.maximum(edges.length[eidx], 1e-12)
-            w0 = ro - p0
-            b = vec.dot(rd, ed)
-            c2 = ll * ll
-            ddot = vec.dot(rd, w0)
-            edot = vec.dot(ed, w0)
-            denom = c2 - b * b
-            u = jnp.clip((b * -ddot + edot)
-                         / jnp.where(denom < 1e-20, 1e-20, denom),
-                         0.0, 1.0)
-            z = jnp.maximum(-ddot + b * u, 0.0)
-            u = jnp.clip((z * b + edot) / c2, 0.0, 1.0)
-            q = p0 + u[:, None] * ed
-            pr = ro + z[:, None] * rd
-            d = jnp.linalg.norm(pr - q, axis=-1)
-            rad = x0 + tan_alpha * z
-            ok = in_range & (d <= rad) & (z > 1e-7) & (z < zmax)
-            zq = jnp.where(ok, z, jnp.inf)
-            # insert into running top-K (replace current max if better)
-            worst = jnp.argmax(best_z, axis=1)
-            rows = jnp.arange(N)
-            worse = zq < best_z[rows, worst]
-            best_z = best_z.at[rows, worst].set(
-                jnp.where(worse, zq, best_z[rows, worst]))
-            best_i = best_i.at[rows, worst].set(
-                jnp.where(worse, eidx, best_i[rows, worst]))
+    # candidate edge rows for all selected clusters, fully vectorized:
+    # (N, n_clusters * edges_per_cluster)
+    base = clusters.start[sel]                              # (N, n_cl)
+    cnt = clusters.count[sel]
+    offs = jnp.arange(edges_per_cluster, dtype=jnp.int32)
+    cand = (base[..., None] + offs[None, None, :])
+    in_range = (offs[None, None, :] < cnt[..., None]) \
+        & valid_cl[..., None]
+    cand = jnp.clip(cand, 0, clusters.order.shape[0] - 1)
+    eidx = clusters.order[cand].reshape(N, -1)              # (N, J)
+    in_range = in_range.reshape(N, -1)
+
+    # exact segment-vs-swept-envelope tests, batched over J candidates
+    p0 = edges.p0[eidx]                                     # (N, J, 3)
+    ed = edges.p1[eidx] - p0
+    ll = jnp.maximum(edges.length[eidx], 1e-12)
+    w0 = ro[:, None, :] - p0
+    b = jnp.sum(rd[:, None, :] * ed, axis=-1)
+    c2 = ll * ll
+    ddot = jnp.sum(rd[:, None, :] * w0, axis=-1)
+    edot = jnp.sum(ed * w0, axis=-1)
+    denom = c2 - b * b
+    u = jnp.clip((b * -ddot + edot)
+                 / jnp.where(denom < 1e-20, 1e-20, denom), 0.0, 1.0)
+    z = jnp.maximum(-ddot + b * u, 0.0)
+    u = jnp.clip((z * b + edot) / c2, 0.0, 1.0)
+    q = p0 + u[..., None] * ed
+    pr = ro[:, None, :] + z[..., None] * rd[:, None, :]
+    d = jnp.linalg.norm(pr - q, axis=-1)
+    rad = x0[:, None] + tan_alpha[:, None] * z
+    ok = in_range & (d <= rad) & (z > 1e-7) & (z < zmax[:, None])
+    zq = jnp.where(ok, z, jnp.inf)
+    negk, selk = jax.lax.top_k(-zq, K)
+    best_z = -negk
+    best_i = jnp.take_along_axis(eidx, selk, axis=1)
     valid = jnp.isfinite(best_z)
     return (jnp.where(valid, best_i, -1), best_z,
             valid.sum(axis=1).astype(jnp.int32))
