@@ -31,7 +31,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    sys.path.insert(0, "tests")
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    sys.path.insert(0, os.path.join(root, "tests"))
     from test_render import make_box_scene
     from wave_tracer_tpu.parallel.dist import make_mesh, \
         sharded_render_step
