@@ -79,17 +79,19 @@ class Renderer:
         kern = make_render_kernel(sensor, cfg.max_depth, eps, cfg.mis,
                                   wave, bdpt)
 
+        n_pix_batches = -(-npixels // pix_per_batch)
         t0 = time.time()
         total_lanes = 0
         for s0 in range(0, spp, spp_per_batch):
             s1 = min(s0 + spp_per_batch, spp)
-            for p0 in range(0, npixels, pix_per_batch):
-                p1 = min(p0 + pix_per_batch, npixels)
-                film = kern(data, film, base_key,
-                            jnp.asarray(p0), jnp.asarray(p1 - p0),
-                            pix_per_batch, jnp.asarray(s0),
-                            jnp.asarray(s1 - s0), s1 - s0)
-                total_lanes += (p1 - p0) * (s1 - s0)
+            # one dispatch sweeps every pixel batch on-device (a fori_loop
+            # inside the kernel) — per-launch tunnel latency is paid once
+            # per spp chunk, not once per pixel batch
+            film = kern(data, film, base_key,
+                        jnp.asarray(npixels), n_pix_batches,
+                        pix_per_batch, jnp.asarray(s0),
+                        jnp.asarray(s1 - s0), s1 - s0)
+            total_lanes += npixels * (s1 - s0)
             if progress:
                 progress(s1, spp)
         film.value.block_until_ready()
@@ -141,48 +143,55 @@ class Renderer:
 
 
 def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False):
-    """Jitted backward launch: trace pix×spp lanes, splat into film."""
+    """Jitted backward launch: sweep all pixel batches for one spp chunk
+    inside a single dispatch (device-side fori_loop over batches)."""
 
-    @partial(jax.jit, static_argnums=(5, 8), donate_argnums=(1,))
-    def kern(data, film, base_key, p0, p_count, pix_cap, s0, s_count,
+    @partial(jax.jit, static_argnums=(4, 5, 8), donate_argnums=(1,))
+    def kern(data, film, base_key, npix, n_batches, pix_cap, s0, s_count,
              spp_cap):
         W = sensor.width
-        pix = p0 + jnp.arange(pix_cap, dtype=jnp.int32)
-        live_p = jnp.arange(pix_cap, dtype=jnp.int32) < p_count
-        pix = jnp.where(live_p, pix, 0)
-        px = pix % W
-        py = pix // W
-        sids = s0 + jnp.arange(spp_cap, dtype=jnp.int32)
-        live_s = jnp.arange(spp_cap, dtype=jnp.int32) < s_count
 
-        pxy = jnp.stack(jnp.broadcast_arrays(px[:, None], py[:, None]),
-                        axis=-1)
-        pxy = jnp.broadcast_to(pxy, (pix_cap, spp_cap, 2)).reshape(-1, 2)
-        sid = jnp.broadcast_to(sids[None, :],
-                               (pix_cap, spp_cap)).reshape(-1)
-        live = jnp.broadcast_to(live_p[:, None] & live_s[None, :],
-                                (pix_cap, spp_cap)).reshape(-1)
+        def one_batch(bi, film):
+            p0 = bi * pix_cap
+            pix = p0 + jnp.arange(pix_cap, dtype=jnp.int32)
+            live_p = pix < npix
+            pix = jnp.where(live_p, pix, 0)
+            px = pix % W
+            py = pix // W
+            sids = s0 + jnp.arange(spp_cap, dtype=jnp.int32)
+            live_s = jnp.arange(spp_cap, dtype=jnp.int32) < s_count
 
-        jit_u = rng.uniform(rng.sample_key(base_key,
-                                           pxy[:, 1] * W + pxy[:, 0],
-                                           sid),
-                            rng.D_PIXEL_JITTER, 2)
-        if bdpt:
-            pos, values, ok, (lt_pos, lt_val, lt_ok) = trace_bdpt(
-                data, pxy, jit_u, base_key, sid, sensor=sensor,
-                max_depth=min(max_depth, 4), eps=eps)
-            film = film_mod.splat_direct(film, lt_pos, lt_val,
-                                         lt_ok & live)
-        elif wave:
-            pos, values, ok = trace_paths_wave(
-                data, pxy, jit_u, base_key, sid, sensor=sensor,
-                edge_table=data.edges, max_depth=max_depth, eps=eps,
-                mis=mis)
-        else:
-            pos, values, ok = trace_paths(
-                data, pxy, jit_u, base_key, sid, sensor=sensor,
-                max_depth=max_depth, eps=eps, mis=mis)
-        return film_mod.splat(film, pos, values, ok & live)
+            pxy = jnp.stack(jnp.broadcast_arrays(px[:, None],
+                                                 py[:, None]), axis=-1)
+            pxy = jnp.broadcast_to(pxy,
+                                   (pix_cap, spp_cap, 2)).reshape(-1, 2)
+            sid = jnp.broadcast_to(sids[None, :],
+                                   (pix_cap, spp_cap)).reshape(-1)
+            live = jnp.broadcast_to(live_p[:, None] & live_s[None, :],
+                                    (pix_cap, spp_cap)).reshape(-1)
+
+            jit_u = rng.uniform(rng.sample_key(base_key,
+                                               pxy[:, 1] * W + pxy[:, 0],
+                                               sid),
+                                rng.D_PIXEL_JITTER, 2)
+            if bdpt:
+                pos, values, ok, (lt_pos, lt_val, lt_ok) = trace_bdpt(
+                    data, pxy, jit_u, base_key, sid, sensor=sensor,
+                    max_depth=min(max_depth, 4), eps=eps)
+                film = film_mod.splat_direct(film, lt_pos, lt_val,
+                                             lt_ok & live)
+            elif wave:
+                pos, values, ok = trace_paths_wave(
+                    data, pxy, jit_u, base_key, sid, sensor=sensor,
+                    edge_table=data.edges, max_depth=max_depth, eps=eps,
+                    mis=mis)
+            else:
+                pos, values, ok = trace_paths(
+                    data, pxy, jit_u, base_key, sid, sensor=sensor,
+                    max_depth=max_depth, eps=eps, mis=mis)
+            return film_mod.splat(film, pos, values, ok & live)
+
+        return jax.lax.fori_loop(0, n_batches, one_batch, film)
 
     return kern
 
