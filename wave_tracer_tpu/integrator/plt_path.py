@@ -349,7 +349,10 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
                     n, o), ap_now, st["fsd_ap"]),
             fsd_valid=active & fsd_valid_new,
             sampled_fsd=sel(sampled_fsd_new, st["sampled_fsd"]),
-            prev_vert=sel(wp, st["prev_vert"]),
+            prev_vert=sel(st["ro"], st["prev_vert"]),
+            # (the deferred coherent sum runs from the segment ORIGIN —
+            # the beam arriving at the aperture — reference
+            # plt_path_detail.hpp:72 prev_vert_beam saved pre-transform)
             M_prev=sel(M_cur, st["M_prev"]),
             prev_env_x0=sel(st["env_x0"], st["prev_env_x0"]),
             prev_env_ta=sel(st["env_ta"], st["prev_env_ta"]),

@@ -296,7 +296,10 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                     n, o), ap_now, st["fsd_ap"]),
             fsd_valid=active & fsd_valid_new,
             sampled_fsd=sel(fsd_lane, st["sampled_fsd"]),
-            prev_vert=sel(wp, st["prev_vert"]),
+            prev_vert=sel(st["ro"], st["prev_vert"]),
+            # (the deferred coherent sum runs from the segment ORIGIN —
+            # the beam arriving at the aperture — reference
+            # plt_path_detail.hpp:72 prev_vert_beam saved pre-transform)
             w_prev=sel(w_cur, st["w_prev"]),
         )
 

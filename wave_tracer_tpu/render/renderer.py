@@ -39,6 +39,11 @@ class Renderer:
     built: object                  # BuiltScene
     batch_lanes: int = 1 << 17     # lanes per launch
     seed: int = 0
+    # True: sweep all pixel batches in one dispatch (device fori_loop) —
+    # best when per-launch latency is high. False: one dispatch per batch
+    # with pre-staged scalars — the axon TPU backend currently compiles
+    # the unfused kernel far more reliably.
+    fuse_batches: bool = True
 
     def render_sensor(self, sensor_index: int = 0, spp: int | None = None,
                       progress=None):
@@ -80,17 +85,23 @@ class Renderer:
                                   wave, bdpt)
 
         n_pix_batches = -(-npixels // pix_per_batch)
+        npix_dev = jnp.asarray(npixels)
         t0 = time.time()
         total_lanes = 0
         for s0 in range(0, spp, spp_per_batch):
             s1 = min(s0 + spp_per_batch, spp)
-            # one dispatch sweeps every pixel batch on-device (a fori_loop
-            # inside the kernel) — per-launch tunnel latency is paid once
-            # per spp chunk, not once per pixel batch
-            film = kern(data, film, base_key,
-                        jnp.asarray(npixels), n_pix_batches,
-                        pix_per_batch, jnp.asarray(s0),
-                        jnp.asarray(s1 - s0), s1 - s0)
+            s0_dev = jnp.asarray(s0)
+            sc_dev = jnp.asarray(s1 - s0)
+            if self.fuse_batches:
+                # one dispatch sweeps every pixel batch on-device
+                film = kern(data, film, base_key, npix_dev,
+                            n_pix_batches, pix_per_batch, s0_dev,
+                            sc_dev, s1 - s0)
+            else:
+                for bi in range(n_pix_batches):
+                    film = kern(data, film, base_key, npix_dev, 1,
+                                pix_per_batch, s0_dev, sc_dev, s1 - s0,
+                                b0=jnp.asarray(bi))
             total_lanes += npixels * (s1 - s0)
             if progress:
                 progress(s1, spp)
@@ -148,10 +159,12 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False):
 
     @partial(jax.jit, static_argnums=(4, 5, 8), donate_argnums=(1,))
     def kern(data, film, base_key, npix, n_batches, pix_cap, s0, s_count,
-             spp_cap):
+             spp_cap, b0=None):
         W = sensor.width
 
         def one_batch(bi, film):
+            if b0 is not None:
+                bi = bi + b0
             p0 = bi * pix_cap
             pix = p0 + jnp.arange(pix_cap, dtype=jnp.int32)
             live_p = pix < npix
