@@ -52,9 +52,11 @@ def child():
     # 16k lanes/batch: XLA compile degrades badly at very large lane
     # counts on this backend. First pass compiles, second is timed.
     LANES = 1 << 14
-    img, stats = render_scene(built, spp=16, batch_lanes=LANES)
+    img, stats = render_scene(built, spp=16, batch_lanes=LANES,
+                              fuse_batches=False)
     print("PARTIAL", stats["paths_per_sec"], flush=True)
-    img, stats = render_scene(built, spp=16, batch_lanes=LANES)
+    img, stats = render_scene(built, spp=16, batch_lanes=LANES,
+                              fuse_batches=False)
     assert np.isfinite(img).all()
     print("RESULT", stats["paths_per_sec"], flush=True)
 

@@ -226,6 +226,7 @@ def make_forward_kernel(sensor, max_depth, eps, wave):
 
 def render_scene(built, sensor_index: int = 0, spp: int | None = None,
                  batch_lanes: int = 1 << 17, seed: int = 0,
-                 progress=None):
-    r = Renderer(built, batch_lanes=batch_lanes, seed=seed)
+                 progress=None, fuse_batches: bool = True):
+    r = Renderer(built, batch_lanes=batch_lanes, seed=seed,
+                 fuse_batches=fuse_batches)
     return r.render_sensor(sensor_index, spp, progress)
