@@ -265,15 +265,74 @@ def trace(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
     return trace_bvh(geo, ro, rd, tmin, tmax, exclude_tri)
 
 
+def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
+                 exclude_tri2=None):
+    """Any-hit BVH traversal: lanes stop traversing on the first hit
+    (no closest-hit bookkeeping — shadow rays are ~2/3 of all casts)."""
+    N = ro.shape[0]
+    if exclude_tri is None:
+        exclude_tri = jnp.full((N,), -1, jnp.int32)
+    if exclude_tri2 is None:
+        exclude_tri2 = jnp.full((N,), -1, jnp.int32)
+    inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-30,
+                             jnp.where(rd < 0, -1e-30, 1e-30), rd)
+    rows = jnp.arange(N)
+
+    def cond(state):
+        sp, _, occ = state
+        return jnp.any((sp > 0) & ~occ)
+
+    def step(state):
+        sp, stack, occ = state
+        active = (sp > 0) & ~occ
+        spc = jnp.maximum(sp - 1, 0)
+        node = jnp.where(active, stack[rows, spc], 0)
+        sp = jnp.where(active, spc, sp)
+
+        cnt = geo.node_count[node]
+        is_leaf = (cnt > 0) & active
+        is_int = (cnt == 0) & active
+
+        left = geo.node_left[node]
+        right = left + 1
+        _, lhit = ray_aabb(ro, inv_rd, geo.node_min[left],
+                           geo.node_max[left], tmin, tmax)
+        _, rhit = ray_aabb(ro, inv_rd, geo.node_min[right],
+                           geo.node_max[right], tmin, tmax)
+        lhit &= is_int
+        rhit &= is_int
+        stack = stack.at[rows, sp].set(
+            jnp.where(rhit, right, stack[rows, sp]))
+        sp = sp + rhit.astype(jnp.int32)
+        stack = stack.at[rows, sp].set(
+            jnp.where(lhit, left, stack[rows, sp]))
+        sp = sp + lhit.astype(jnp.int32)
+
+        tri0 = geo.node_left[node]
+        for k in range(_LEAF_TILE):
+            ti = tri0 + k
+            ok = is_leaf & (k < cnt) & (ti != exclude_tri) \
+                & (ti != exclude_tri2)
+            tiv = jnp.where(ok, ti, 0)
+            _, _, _, hit = ray_tri(ro, rd, geo.p0[tiv], geo.e1[tiv],
+                                   geo.e2[tiv], tmin, tmax)
+            occ = occ | (hit & ok)
+        return sp, stack, occ
+
+    stack = jnp.zeros((N, MAX_DEPTH + 2), jnp.int32)
+    sp = jnp.ones((N,), jnp.int32)
+    _, _, occ = jax.lax.while_loop(
+        cond, step, (sp, stack, jnp.zeros((N,), bool)))
+    return occ
+
+
 def occluded(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
              exclude_tri2=None):
     if geo.num_tris <= BRUTE_THRESHOLD:
         return occluded_brute(geo, ro, rd, tmin, tmax, exclude_tri,
                               exclude_tri2)
-    t, i, _, _ = trace_bvh(geo, ro, rd, tmin, tmax, exclude_tri)
-    if exclude_tri2 is not None:
-        return (i >= 0) & (i != exclude_tri2)
-    return i >= 0
+    return occluded_bvh(geo, ro, rd, tmin, tmax, exclude_tri,
+                        exclude_tri2)
 
 
 @struct.dataclass
