@@ -132,3 +132,52 @@ class TestTrace:
         m = np.asarray(ib >= 0)
         np.testing.assert_allclose(np.asarray(tb)[m], np.asarray(tv)[m],
                                    rtol=1e-4)
+
+
+class TestTrisInBall:
+    def test_vs_brute_numpy(self, sphere_geo):
+        geo, _ = sphere_geo
+        rng = np.random.default_rng(11)
+        N, K = 32, 12
+        center = rng.normal(0, 0.8, (N, 3)).astype(np.float32)
+        radius = rng.uniform(0.05, 0.6, N).astype(np.float32)
+        idx, dist, cnt = trace_mod.tris_in_ball(
+            geo, jnp.asarray(center), jnp.asarray(radius), K)
+        idx, dist, cnt = map(np.asarray, (idx, dist, cnt))
+
+        p0 = np.asarray(geo.p0)
+        e1 = np.asarray(geo.e1)
+        e2 = np.asarray(geo.e2)
+        gn = np.asarray(geo.geo_n)
+
+        def tri_dist(p, i):
+            a, b, c = p0[i], p0[i] + e1[i], p0[i] + e2[i]
+            # dense sample of the triangle as ground truth
+            u, v = np.meshgrid(np.linspace(0, 1, 40),
+                               np.linspace(0, 1, 40))
+            m = u + v <= 1
+            pts = (a + u[m][:, None] * (b - a) + v[m][:, None] * (c - a))
+            return np.linalg.norm(pts - p, axis=1).min()
+
+        for n in range(N):
+            truth = np.array([tri_dist(center[n], i)
+                              for i in range(len(p0))])
+            expect = np.sort(np.nonzero(truth <= radius[n])[0])
+            got = np.sort(idx[n][idx[n] >= 0])
+            if len(expect) <= K:
+                # every in-ball triangle must be found (sampled truth is
+                # approximate near the boundary: allow eps slack)
+                missing = set(expect) - set(got)
+                for i in missing:
+                    assert truth[i] >= radius[n] - 2e-3
+            assert cnt[n] == (idx[n] >= 0).sum()
+            # reported distances are exact point-tri distances
+            for j in range(cnt[n]):
+                assert dist[n, j] <= radius[n] + 1e-6
+
+    def test_empty_far_away(self, sphere_geo):
+        geo, _ = sphere_geo
+        idx, dist, cnt = trace_mod.tris_in_ball(
+            geo, jnp.asarray([[50.0, 0, 0]]), jnp.asarray([0.5]), 8)
+        assert int(cnt[0]) == 0
+        assert np.all(np.asarray(idx) == -1)

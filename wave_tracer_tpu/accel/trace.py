@@ -335,6 +335,91 @@ def occluded(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
                         exclude_tri2)
 
 
+# ---------------------------------------------------------------------------
+# region queries (ball-mode): triangles inside an interaction footprint
+# ---------------------------------------------------------------------------
+
+def _point_tri_dist(p, a, e1, e2, gn):
+    """Exact point-to-triangle distance, batched.
+
+    p (N, 1, 3) query points vs triangle tiles a/e1/e2/gn (1, T, 3).
+    Plane projection + barycentric inside test, else min over the three
+    edge segments (the reference's ball queries use tri distance too,
+    src/ads/bvh8w.cpp:610-736).
+    """
+    w = p - a
+    dist_pl = jnp.sum(w * gn, axis=-1)
+    q = w - dist_pl[..., None] * gn              # projection, local to a
+    # barycentric of q in (e1, e2)
+    d11 = jnp.sum(e1 * e1, axis=-1)
+    d12 = jnp.sum(e1 * e2, axis=-1)
+    d22 = jnp.sum(e2 * e2, axis=-1)
+    q1 = jnp.sum(q * e1, axis=-1)
+    q2 = jnp.sum(q * e2, axis=-1)
+    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-30)
+    u = (d22 * q1 - d12 * q2) / det
+    v = (d11 * q2 - d12 * q1) / det
+    inside = (u >= 0) & (v >= 0) & (u + v <= 1)
+
+    def seg_d(s0, sd):
+        ww = p - s0
+        ll = jnp.maximum(jnp.sum(sd * sd, axis=-1), 1e-30)
+        t = jnp.clip(jnp.sum(ww * sd, axis=-1) / ll, 0.0, 1.0)
+        r = ww - t[..., None] * sd
+        return jnp.sqrt(jnp.sum(r * r, axis=-1))
+
+    d_edges = jnp.minimum(jnp.minimum(seg_d(a, e1), seg_d(a, e2)),
+                          seg_d(a + e1, e2 - e1))
+    return jnp.where(inside, jnp.abs(dist_pl), d_edges)
+
+
+def tris_in_ball(geo: GeoArrays, center, radius, K: int, tile: int = 512):
+    """Top-K nearest triangles intersecting ball (center (N,3),
+    radius (N,)). Returns (idx (N,K) i32, −1-padded, dist (N,K),
+    count (N,)).
+
+    Tiled brute-force over the triangle table (dense VPU work replacing
+    the reference's per-thread BVH ball traversal,
+    src/ads/bvh8w.cpp:610-736); used by the BDPT wavefront-power integral
+    to find the geometry inside an interaction region.
+    """
+    T = geo.num_tris
+    N = center.shape[0]
+    if T == 0:
+        return (jnp.full((N, K), -1, jnp.int32), jnp.full((N, K), jnp.inf),
+                jnp.zeros((N,), jnp.int32))
+    TP = max(tile, ((T + tile - 1) // tile) * tile)
+    pad = TP - T
+    p0 = jnp.pad(geo.p0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(geo.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(geo.e2, ((0, pad), (0, 0)))
+    gn = jnp.pad(geo.geo_n, ((0, pad), (0, 0)))
+
+    def body(ci, carry):
+        bdist, bidx = carry
+        s = ci * tile
+        ta = jax.lax.dynamic_slice(p0, (s, 0), (tile, 3))
+        t1 = jax.lax.dynamic_slice(e1, (s, 0), (tile, 3))
+        t2 = jax.lax.dynamic_slice(e2, (s, 0), (tile, 3))
+        tn = jax.lax.dynamic_slice(gn, (s, 0), (tile, 3))
+        dist = _point_tri_dist(center[:, None, :], ta[None], t1[None],
+                               t2[None], tn[None])
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        dist = jnp.where((ids < T) & (dist <= radius[:, None]), dist,
+                         jnp.inf)
+        cat_d = jnp.concatenate([bdist, dist], axis=1)
+        cat_i = jnp.concatenate([bidx, jnp.broadcast_to(ids, dist.shape)],
+                                axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, K)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((N, K), jnp.inf), jnp.full((N, K), -1, jnp.int32))
+    bdist, bidx = jax.lax.fori_loop(0, TP // tile, body, init)
+    valid = jnp.isfinite(bdist)
+    bidx = jnp.where(valid, bidx, -1)
+    return bidx, bdist, valid.sum(axis=1).astype(jnp.int32)
+
+
 @struct.dataclass
 class SurfaceHit:
     """Interpolated surface interaction (reference

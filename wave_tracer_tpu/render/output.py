@@ -104,6 +104,10 @@ def write_exr(path: str, img: np.ndarray, channel_names=None,
     hdr += b"\0"
 
     dtype = np.float16 if half else np.float32
+    if half:
+        # clamp to the finite half range: a few hot fireflies otherwise
+        # overflow to inf in the cast
+        img = np.clip(img, -65504.0, 65504.0)
     blocks = []
     for y0 in range(0, H, block):
         y1 = min(y0 + block, H)
