@@ -3,6 +3,8 @@ power constants, and the ASF behaves like single-slit diffraction."""
 
 import math
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -107,3 +109,127 @@ class TestSampling:
         # sampled points concentrate where the density is non-negligible
         d_at = np.asarray(fr.sampling_density(ap, xi))
         assert (d_at > 0).mean() > 0.95
+
+
+class TestDirectionMapping:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(5)
+        xi = jnp.asarray(rng.normal(0, 3, (64, 2)), jnp.float32)
+        scale = jnp.full((64,), 12.56)
+        wo, ok = fr.xi_to_wo(xi, scale)
+        xi2, ok2 = fr.wo_to_xi(wo, scale)
+        m = np.asarray(ok & ok2)
+        np.testing.assert_allclose(np.asarray(xi2)[m],
+                                   np.asarray(xi)[m], rtol=2e-3, atol=1e-3)
+        # unit directions
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(wo), axis=-1)[m], 1.0, atol=1e-3)
+
+    def test_cutoff(self):
+        # huge xi → grazing → rejected
+        wo, ok = fr.xi_to_wo(jnp.asarray([[1e3, 0.0]]), jnp.asarray([1.0]))
+        assert not bool(ok[0])
+
+
+class TestAperture3D:
+    def _slit_edges_3d(self):
+        """Two long wedge edges forming a vertical slit of width w at the
+        origin plane, beam along +z."""
+        from wave_tracer_tpu.accel.edges import EdgeTable
+        w = 0.004   # 4 mm slit
+        L = 1.0
+        p0 = np.array([[-w / 2, -L, 0.0], [w / 2, L, 0.0]], np.float32)
+        p1 = np.array([[-w / 2, L, 0.0], [w / 2, -L, 0.0]], np.float32)
+        # screen normals ±z → silhouette for a beam along z (boundary
+        # edges: n2 = −n1)
+        n1 = np.array([[0, 0, 1.0], [0, 0, 1.0]], np.float32)
+        n2 = -n1
+        e = (p1 - p0)
+        ln = np.linalg.norm(e, axis=-1, keepdims=True)
+        t1 = np.array([[-1, 0, 0.0], [1, 0, 0.0]], np.float32)
+        return EdgeTable(
+            p0=jnp.asarray(p0), p1=jnp.asarray(p1),
+            e=jnp.asarray(e / ln),
+            n1=jnp.asarray(n1), n2=jnp.asarray(n2),
+            t1=jnp.asarray(t1), t2=jnp.asarray(-t1),
+            alpha=jnp.zeros(2), length=jnp.asarray(ln[:, 0]),
+            center=jnp.asarray(0.5 * (p0 + p1)),
+            tri1=jnp.zeros(2, jnp.int32), tri2=jnp.full(2, -1, jnp.int32))
+
+    def test_build_matches_2d(self):
+        et = self._slit_edges_3d()
+        idx = jnp.asarray([[0, 1]], jnp.int32)
+        origin = jnp.zeros((1, 3))
+        rd = jnp.asarray([[0.0, 0, 1]])
+        fx = jnp.asarray([[1.0, 0, 0]])
+        fy = jnp.asarray([[0.0, 1, 0]])
+        sigma = jnp.asarray([0.01])        # 10 mm σ → ~uniform over slit
+        r_env = 3.0 * sigma
+        k = jnp.asarray([2 * np.pi / 50e-6])   # λ = 50 µm
+        ap, scale = fr.build_aperture_3d(et, idx, origin, rd, fx, fy,
+                                         sigma, r_env, k, subdiv=4)
+        assert bool(ap.valid.any())
+        v = np.asarray(ap.valid[0])
+        e2d = np.asarray(ap.e[0])[v]
+        # all segments are vertical (slit edges along y), in mm units
+        np.testing.assert_allclose(e2d[:, 0], 0.0, atol=1e-6)
+        # total |e_y| per side = chord of the 30 mm circle at x = ±2 mm:
+        # 2·√(30² − 2²) = 59.87 mm
+        tot = np.abs(e2d[:, 1]).sum() / 2.0
+        np.testing.assert_allclose(tot, 2 * np.sqrt(30.0 ** 2 - 4.0),
+                                   rtol=1e-3)
+        # midpoints sit at x = ±w/2 (in mm)
+        vmid = np.asarray(ap.v[0])[v]
+        np.testing.assert_allclose(np.abs(vmid[:, 0]), 2.0, atol=1e-5)
+        # partition normalizes
+        tot_pdf = float(ap.P0_pdf[0] + np.asarray(ap.edge_pdf[0]).sum())
+        np.testing.assert_allclose(tot_pdf, 1.0, rtol=1e-5)
+
+    def test_silhouette_filter(self):
+        et = self._slit_edges_3d()
+        # interior-style edge (both normals on the same side of the beam)
+        et = et.replace(n2=et.n1)
+        idx = jnp.asarray([[0, 1]], jnp.int32)
+        ap, _ = fr.build_aperture_3d(
+            et, idx, jnp.zeros((1, 3)), jnp.asarray([[0.0, 0, 1]]),
+            jnp.asarray([[1.0, 0, 0]]), jnp.asarray([[0.0, 1, 0]]),
+            jnp.asarray([0.01]), jnp.asarray([0.03]),
+            jnp.asarray([1e5]))
+        assert not bool(ap.valid.any())
+
+
+class TestSIR:
+    def test_ris_weighted_masses_match_asf(self):
+        """The RIS estimator is unbiased for any proposal count M:
+        E[w_ris·1{ξ∈A}] = ∫_A ASF dξ. Compare weighted sample masses
+        against grid integrals of the ASF over radial annuli — this also
+        covers the fringe structure (annuli alternate max/min bands)."""
+        ap0 = _slit_aperture(width=4.0)
+        N, M = 32768, 8
+        ap = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (N,) + a.shape[1:]), ap0)
+        rng = np.random.default_rng(2)
+        uM4 = jnp.asarray(rng.random((N, M, 4)), jnp.float32)
+        up = jnp.asarray(rng.random(N), jnp.float32)
+        xi, asf_v, w_ris, ok = fr.sample_xi_sir(ap, uM4, up)
+        xi = np.asarray(xi)
+        w = np.asarray(w_ris)
+        assert np.isfinite(w).all() and (w >= 0).all()
+
+        G, Lx = 400, 5.0
+        gx = np.linspace(-Lx, Lx, G)
+        X, Y = np.meshgrid(gx, gx, indexing="ij")
+        pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], -1),
+                          jnp.float32)
+        ap1 = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (pts.shape[0],) + a.shape[1:]),
+            ap0)
+        a = np.asarray(fr.asf(ap1, pts)).reshape(G, G)
+        dA = (gx[1] - gx[0]) ** 2
+        R = np.sqrt(X ** 2 + Y ** 2)
+        r_s = np.sqrt((xi ** 2).sum(1))
+        for r0, r1 in ((0, 0.25), (0.25, 0.75), (0.75, 1.25),
+                       (1.25, 1.8), (1.8, 2.6), (2.6, 5.0)):
+            m_true = a[(R >= r0) & (R < r1)].sum() * dA
+            m_smp = w[(r_s >= r0) & (r_s < r1)].sum() / N
+            assert m_smp == pytest.approx(m_true, rel=0.15), (r0, r1)

@@ -23,6 +23,7 @@ import math
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -140,12 +141,15 @@ def edge_powers(e, a_b, iab_2):
                        + PA2 * jnp.abs(iab_2) ** 2)
 
 
-def build_aperture(seg_p1, seg_p2, amp1, amp2, valid):
+def build_aperture(seg_p1, seg_p2, amp1, amp2, valid, p0_scale=1.0):
     """Assemble an aperture from clipped projected segments.
 
-    seg_p1/p2 (N, B, 2): endpoints in canonical (wavenumber-scaled) cross-
-    section coordinates; amp1/amp2 (N, B): wavefront amplitude magnitudes
-    at the endpoints (free_space_diffraction.cpp:72-95).
+    seg_p1/p2 (N, B, 2): endpoints in canonical cross-section coordinates
+    (the reference's fsd_unit = 1 mm space); amp1/amp2 (N, B): wavefront
+    amplitude magnitudes at the endpoints
+    (free_space_diffraction.cpp:72-95). p0_scale: k·fsd_unit — the
+    0th-order lobe power is divided by its square
+    (free_space_diffraction.cpp:119).
     """
     e = seg_p2 - seg_p1
     v = 0.5 * (seg_p1 + seg_p2)
@@ -175,7 +179,8 @@ def build_aperture(seg_p1, seg_p2, amp1, amp2, valid):
         acc = acc + asf_unclamped(ap, jnp.broadcast_to(
             jnp.asarray(r * d), (e.shape[0], 2)))
     psi02 = acc / 8.0
-    P0 = 2.0 * math.pi * P0_SIGMA ** 2 * psi02
+    P0 = 2.0 * math.pi * P0_SIGMA ** 2 * psi02 \
+        / jnp.maximum(jnp.asarray(p0_scale, jnp.float32) ** 2, 1e-30)
 
     total = jnp.sum(pj, axis=1) + P0
     tot = jnp.maximum(total, 1e-30)
@@ -189,15 +194,26 @@ def build_aperture(seg_p1, seg_p2, amp1, amp2, valid):
 # (replaces the reference's data/fsd/iCDF*.fp64 files)
 # ---------------------------------------------------------------------------
 
-_LUT_PATH = os.path.join(os.path.dirname(__file__), "_fraunhofer_luts.npz")
-_LUT_RES = 512
-_LUT_RANGE = 60.0      # canonical ζ domain half-width
+_LUT_PATH = os.path.join(os.path.dirname(__file__),
+                         "_fraunhofer_luts_v2.npz")
+_LUT_RES = 1024
+_LUT_WARP = 4.0     # ζ = s·tan(θ): covers the full plane, fine near 0
 
 
 def _build_luts():
-    x = np.linspace(-_LUT_RANGE, _LUT_RANGE, _LUT_RES)
-    y = np.linspace(-_LUT_RANGE, _LUT_RANGE, _LUT_RES)
-    X, Y = np.meshgrid(x, y, indexing="ij")
+    """Marginal/conditional CDFs of |α1|², |α2|² on a tan-warped grid.
+
+    The lobes have power-law 1/ζ² tails (the published PA1/PA2 constants
+    integrate over the whole plane) and ξ = ζ·Ξ⁻¹ compresses by 1/|e| for
+    long edges, so a truncated uniform grid misses the physically relevant
+    range; ζ = s·tan(θ) with θ uniform reaches infinity while keeping
+    resolution at the core (the reference ships equivalent precomputed
+    tables, data/fsd/iCDF*.fp64 — git-lfs stubs in this snapshot)."""
+    th = np.linspace(-np.pi / 2 + 1e-6, np.pi / 2 - 1e-6, _LUT_RES + 1)
+    z = _LUT_WARP * np.tan(th)                       # cell boundaries
+    zc = 0.5 * (z[1:] + z[:-1])                      # cell centres
+    dz = np.diff(z)
+    X, Y = np.meshgrid(zc, zc, indexing="ij")
 
     def np_sinc(v):
         return np.sinc(v / np.pi)
@@ -207,18 +223,25 @@ def _build_luts():
     a1 = INV_TWO_PI * Y / (xs * r2) * (np.cos(0.5 * xs)
                                        - np_sinc(0.5 * xs))
     a2 = INV_TWO_PI * Y / r2 * np_sinc(0.5 * xs)
+    # the tables sample the MASKED lobes χe·|αj|² — the χe mask removes
+    # the non-normalizable core that the 0th-order lobe covers (this is
+    # why the published PAj power constants fold χe in, fsd.hpp:57-61)
+    t = 1.0 + CHI * r2
+    chie = np.maximum(0.0, 1.0 - (3.0 / t ** 2 - 2.0 / t ** 3))
+    cell = np.outer(dz, dz)                          # cell areas
     out = {}
     for name, a in (("a1", a1), ("a2", a2)):
-        d = a * a
-        # marginal in x, conditional in y
+        d = a * a * chie * cell                      # per-cell mass
+        out[f"{name}_z"] = np.float32(d.sum())       # true lobe integral
         px = d.sum(axis=1)
-        cx = np.cumsum(px)
+        cx = np.concatenate([[0], np.cumsum(px)])
         cx = cx / cx[-1]
-        cy = np.cumsum(d, axis=1)
+        cy = np.concatenate([np.zeros((_LUT_RES, 1)),
+                             np.cumsum(d, axis=1)], axis=1)
         cy = cy / np.maximum(cy[:, -1:], 1e-300)
-        out[f"{name}_cx"] = cx.astype(np.float32)
-        out[f"{name}_cy"] = cy.astype(np.float32)
-    out["grid"] = x.astype(np.float32)
+        out[f"{name}_cx"] = cx.astype(np.float32)    # (R+1,)
+        out[f"{name}_cy"] = cy.astype(np.float32)    # (R, R+1)
+    out["grid"] = z.astype(np.float32)               # boundaries (R+1,)
     return out
 
 
@@ -240,18 +263,66 @@ _A1_CX = jnp.asarray(_LUTS["a1_cx"])
 _A1_CY = jnp.asarray(_LUTS["a1_cy"])
 _A2_CX = jnp.asarray(_LUTS["a2_cx"])
 _A2_CY = jnp.asarray(_LUTS["a2_cy"])
+_Z1 = float(_LUTS["a1_z"])      # ∫ χe·|α1|² dζ over the sampled grid
+_Z2 = float(_LUTS["a2_z"])
+
+
+def _inv_cdf_interp(cdf_bounds, u):
+    """Piecewise-linear inverse CDF over grid-cell boundaries.
+    cdf_bounds (..., R+1) monotone 0→1; returns fractional cell index."""
+    i = jnp.clip(jnp.sum((cdf_bounds < u[..., None]).astype(jnp.int32),
+                         axis=-1) - 1, 0, _LUT_RES - 1)
+    c0 = jnp.take_along_axis(cdf_bounds, i[..., None], axis=-1)[..., 0]
+    c1 = jnp.take_along_axis(cdf_bounds, (i + 1)[..., None],
+                             axis=-1)[..., 0]
+    frac = (u - c0) / jnp.maximum(c1 - c0, 1e-30)
+    return i.astype(jnp.float32) + jnp.clip(frac, 0.0, 1.0)
+
+
+def _grid_at(fidx):
+    i = jnp.clip(fidx.astype(jnp.int32), 0, _LUT_RES - 1)
+    f = fidx - i
+    return _GRID[i] * (1.0 - f) + _GRID[i + 1] * f
 
 
 def _sample_lobe(cx, cy, u1, u2):
-    """Inverse-CDF sample of a canonical lobe → ζ (N, 2)."""
-    ix = jnp.clip(jnp.searchsorted(cx, u1), 0, _LUT_RES - 1)
-    zx = _GRID[ix]
-    row = cy[ix]
-    # per-row inverse CDF (vectorized comparison count)
-    iy = jnp.clip(jnp.sum((row < u2[:, None]).astype(jnp.int32), axis=1),
-                  0, _LUT_RES - 1)
-    zy = _GRID[iy]
+    """Inverse-CDF sample of a canonical lobe → ζ (N, 2), with linear
+    interpolation inside grid cells."""
+    fx = _inv_cdf_interp(cx[None, :], u1)
+    zx = _grid_at(fx)
+    row = cy[jnp.clip(fx.astype(jnp.int32), 0, _LUT_RES - 1)]
+    fy = _inv_cdf_interp(row, u2)
+    zy = _grid_at(fy)
     return jnp.stack([zx, zy], axis=-1)
+
+
+def _chi_e_zeta(zx, zy):
+    """χe evaluated on ζ components (per edge)."""
+    r2 = zx * zx + zy * zy
+    t = 1.0 + CHI * r2
+    return jnp.maximum(0.0, 1.0 - (3.0 / (t * t) - 2.0 / (t * t * t)))
+
+
+def proposal_density(ap: FraunhoferAperture, xi):
+    """Exact density of the mixture `sample_xi` draws from (0th-order
+    Gaussian + per-edge masked-lobe LUT draws mapped by Ξ⁻¹). This is the
+    g needed for unbiased SIR/rejection weights — the reference's
+    sampling_density plays this role with its PAj constants assumed to
+    normalize the tables (fsd_sampler.cpp:96-110)."""
+    zx, zy = _zeta(ap, xi)                     # (N, B)
+    ee2 = jnp.sum(ap.e * ap.e, axis=-1)
+    p1 = ee2 ** 2 * PA1 * jnp.abs(ap.a_b) ** 2
+    p2 = ee2 ** 2 * PA2 * jnp.abs(ap.iab_2) ** 2
+    w1 = p1 / jnp.maximum(p1 + p2, 1e-30)
+    chie = _chi_e_zeta(zx, zy)
+    l1 = chie * alpha1(zx, zy) ** 2 / _Z1
+    l2 = chie * alpha2(zx, zy) ** 2 / _Z2
+    per_edge = ap.edge_pdf * ee2 * (w1 * l1 + (1.0 - w1) * l2)
+    g_edges = jnp.sum(jnp.where(ap.valid, per_edge, 0.0), axis=1)
+    xi2 = jnp.sum(xi * xi, axis=-1)
+    g0 = ap.P0_pdf * jnp.exp(-0.5 * xi2 / P0_SIGMA ** 2) \
+        * INV_TWO_PI / P0_SIGMA ** 2
+    return g_edges + g0
 
 
 def sample_xi(ap: FraunhoferAperture, u4):
@@ -282,9 +353,14 @@ def sample_xi(ap: FraunhoferAperture, u4):
     ee2 = jnp.sum(e_sel * e_sel, axis=-1)
     p1 = ee2 ** 2 * PA1 * jnp.abs(a_b) ** 2
     p2 = ee2 ** 2 * PA2 * jnp.abs(iab) ** 2
-    use1 = u4[:, 2] * (p1 + p2) < p1         # reuse u[2] for the branch
-    z1 = _sample_lobe(_A1_CX, _A1_CY, u4[:, 3], u4[:, 2])
-    z2 = _sample_lobe(_A2_CX, _A2_CY, u4[:, 3], u4[:, 2])
+    ptot = jnp.maximum(p1 + p2, 1e-30)
+    use1 = u4[:, 2] * ptot < p1
+    # conditional rescale: u[2] stays uniform given the branch it selected
+    u_cond = jnp.where(use1, u4[:, 2] * ptot / jnp.maximum(p1, 1e-30),
+                       (u4[:, 2] * ptot - p1) / jnp.maximum(p2, 1e-30))
+    u_cond = jnp.clip(u_cond, 0.0, 1.0 - 1e-7)
+    z1 = _sample_lobe(_A1_CX, _A1_CY, u4[:, 3], u_cond)
+    z2 = _sample_lobe(_A2_CX, _A2_CY, u4[:, 3], u_cond)
     zeta = jnp.where(use1[:, None], z1, z2)
     # ξ = ζ·Ξ⁻¹; Ξ = [e, m] with |det| = ee2
     ex, ey = e_sel[:, 0], e_sel[:, 1]
@@ -293,5 +369,141 @@ def sample_xi(ap: FraunhoferAperture, u4):
                       (zeta[:, 0] * ey - zeta[:, 1] * ex) / det], axis=-1)
 
     xi = jnp.where(pick0[:, None], xi0, xi_e)
-    dens = sampling_density(ap, xi)
+    dens = proposal_density(ap, xi)
     return xi, dens, pick0
+
+
+def sample_xi_sir(ap: FraunhoferAperture, uM4, u_pick):
+    """Resampled-importance-sampling draw of ξ ~ ASF.
+
+    TPU re-design of the reference's samplers (fsd_sampler.cpp:85-151):
+    its rejection loop is unbounded (unsuited to lock-step lanes) and its
+    SIR variant assumes the winner is exactly ASF-distributed (weight 1) —
+    biased whenever ASF ≰ M·proposal, which long edges violate badly.
+    Here the standard unbiased RIS estimator (Talbot et al. 2005) is used:
+    draw M proposals from the exact mixture density g, pick one ∝ w =
+    ASF/g, and carry weight (1/M)·Σw so E[weight·δ(ξ)] = ASF(ξ) for ANY M.
+
+    uM4 (N, M, 4): per-proposal uniforms; u_pick (N,): resampling pick.
+    Returns (xi (N, 2), asf (N,) ASF at the winner, w_ris (N,) =
+    (1/M)·Σ_k ASF(ξ_k)/g(ξ_k), valid). The caller multiplies throughput
+    by w_ris·recp_I and uses pdf ≈ asf·recp_I for MIS bookkeeping (same
+    approximation as the reference, fsd_sampler.hpp:61).
+    """
+    N, M, _ = uM4.shape
+    xi_m, dens_m, _ = jax.vmap(lambda u: sample_xi(ap, u),
+                               in_axes=1, out_axes=1)(uM4)     # (N, M, ...)
+    asf_m = jax.vmap(lambda x: asf(ap, x), in_axes=1,
+                     out_axes=1)(xi_m)
+    w = jnp.where(dens_m > 0, asf_m / jnp.maximum(dens_m, 1e-30), 0.0)
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
+    W = jnp.sum(w, axis=1)
+    cdf = jnp.cumsum(w, axis=1)
+    tgt = u_pick * W
+    pick = jnp.sum((cdf < tgt[:, None]).astype(jnp.int32), axis=1)
+    pick = jnp.clip(pick, 0, M - 1)
+    rows = jnp.arange(N)
+    xi = xi_m[rows, pick]
+    asf_v = asf_m[rows, pick]
+    w_ris = W / M
+    valid = (W > 0) & jnp.isfinite(asf_v)
+    return xi, asf_v, w_ris, valid
+
+
+WO2_CUTOFF = 0.85     # free_space_diffraction.hpp:37
+
+
+def xi_to_wo(xi, scale):
+    """Canonical ξ → local direction (tan→sin per component + cutoff,
+    free_space_diffraction.hpp sample():85-97). Returns (wo (N, 3) in the
+    beam frame, valid)."""
+    zeta = xi / jnp.asarray(scale)[..., None]
+    wol = zeta / jnp.sqrt(1.0 + zeta * zeta)
+    wo2 = jnp.sum(wol * wol, axis=-1)
+    ok = wo2 < WO2_CUTOFF
+    z = jnp.sqrt(jnp.maximum(1.0 - wo2, 1e-6))
+    return jnp.concatenate([wol, z[..., None]], axis=-1), ok
+
+
+def wo_to_xi(wol, scale):
+    """Local direction → canonical ξ (sin→tan,
+    free_space_diffraction.hpp pdf():119-131). Returns (xi, valid)."""
+    w2 = wol[..., :2]
+    wo2 = jnp.sum(w2 * w2, axis=-1)
+    ok = (wol[..., 2] > 0) & (wo2 < WO2_CUTOFF)
+    zeta = w2 / jnp.sqrt(jnp.maximum(1.0 - w2 * w2, 1e-6))
+    return zeta * jnp.asarray(scale)[..., None], ok
+
+
+# ---------------------------------------------------------------------------
+# 3D aperture construction from swept edge queries
+# (free_space_diffraction.cpp ctor:33-126)
+# ---------------------------------------------------------------------------
+
+FSD_UNIT_M = 1e-3     # canonical space is mm-based (fsd_unit = 1 mm)
+
+
+def build_aperture_3d(edges, idx, origin, rd, fx, fy, sigma_m, r_env,
+                      k, subdiv: int = 4):
+    """Project ball/sweep-queried edges into the beam cross-section and
+    assemble the canonical aperture.
+
+    edges: EdgeTable; idx (N, K) rows (−1 padding); origin (N, 3) point on
+    the beam axis in the cross-section plane; rd (N, 3) beam direction;
+    fx/fy (N, 3) cross-section frame axes; sigma_m (N,) wavefront σ [m];
+    r_env (N,) envelope (3σ) radius [m]; k (N,) wavenumber [rad/m].
+
+    Steps per edge (reference free_space_diffraction.cpp:44-103):
+    silhouette filter dot(d,n1)·dot(d,n2) < 0 → orthographic projection
+    onto the cross-section → clip to the envelope circle → subdivide into
+    `subdiv` segments with Gaussian-wavefront amplitudes at the split
+    points → canonical mm units.
+    """
+    N, K = idx.shape
+    i = jnp.maximum(idx, 0)
+    ok = idx >= 0
+
+    # projected-silhouette filter
+    d_n1 = jnp.sum(rd[:, None, :] * edges.n1[i], axis=-1)
+    d_n2 = jnp.sum(rd[:, None, :] * edges.n2[i], axis=-1)
+    ok &= (d_n1 * d_n2) < 0.0
+
+    # endpoints in cross-section coordinates [m]
+    w0 = edges.p0[i] - origin[:, None, :]
+    w1 = edges.p1[i] - origin[:, None, :]
+    u1 = jnp.stack([jnp.sum(w0 * fx[:, None, :], axis=-1),
+                    jnp.sum(w0 * fy[:, None, :], axis=-1)], axis=-1)
+    u2 = jnp.stack([jnp.sum(w1 * fx[:, None, :], axis=-1),
+                    jnp.sum(w1 * fy[:, None, :], axis=-1)], axis=-1)
+
+    # clip the 2D segment to the envelope circle |u| ≤ r_env
+    dseg = u2 - u1
+    aa = jnp.maximum(jnp.sum(dseg * dseg, axis=-1), 1e-30)
+    bb = jnp.sum(u1 * dseg, axis=-1)
+    cc = jnp.sum(u1 * u1, axis=-1) - (r_env[:, None]) ** 2
+    disc = bb * bb - aa * cc
+    ok &= disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = jnp.clip((-bb - sq) / aa, 0.0, 1.0)
+    t2 = jnp.clip((-bb + sq) / aa, 0.0, 1.0)
+    ok &= (t2 - t1) > 1e-9
+
+    # subdivide into `subdiv` segments; amplitudes at the split points
+    ts = t1[..., None] + (t2 - t1)[..., None] \
+        * jnp.linspace(0.0, 1.0, subdiv + 1)              # (N, K, S+1)
+    pts = u1[..., None, :] + ts[..., None] * dseg[..., None, :]
+    q = jnp.sum(pts * pts, axis=-1) \
+        / jnp.maximum(sigma_m[:, None, None] ** 2, 1e-30)
+    dens = jnp.exp(-0.5 * q) / jnp.maximum(
+        2.0 * math.pi * sigma_m[:, None, None] ** 2, 1e-30)
+    amp = jnp.sqrt(dens)                                   # (N, K, S+1)
+
+    seg_p1 = pts[..., :-1, :].reshape(N, K * subdiv, 2) / FSD_UNIT_M
+    seg_p2 = pts[..., 1:, :].reshape(N, K * subdiv, 2) / FSD_UNIT_M
+    amp1 = amp[..., :-1].reshape(N, K * subdiv)
+    amp2 = amp[..., 1:].reshape(N, K * subdiv)
+    valid = jnp.broadcast_to(ok[..., None], (N, K, subdiv)) \
+        .reshape(N, K * subdiv)
+    scale = k * FSD_UNIT_M
+    return build_aperture(seg_p1, seg_p2, amp1, amp2, valid,
+                          p0_scale=scale), scale
