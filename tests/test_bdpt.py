@@ -36,3 +36,47 @@ def test_bdpt_matches_path_mean():
     assert 0.8 < ratio < 1.25, f"bdpt/path mean ratio {ratio}"
     corr = np.corrcoef(img_p.ravel(), img_b.ravel())[0, 1]
     assert corr > 0.99
+
+
+def test_bdpt_fsd_energy_sane():
+    """With Fraunhofer FSD on, the box render stays finite and within a
+    modest factor of the FSD-off render (FSD redistributes power, it must
+    not create or destroy it wholesale)."""
+    scene = make_box_scene(res=16, spp=8)
+    scene.integrator.type = "plt_bdpt"
+    scene.integrator.fsd = False
+    built = build_scene(scene)
+    img0, _ = render_scene(built, spp=8, batch_lanes=1 << 11)
+
+    scene.integrator.fsd = True
+    built = build_scene(scene)
+    img1, st = render_scene(built, spp=8, batch_lanes=1 << 11)
+    assert st["mode"] == "bdpt"
+    assert np.isfinite(img1).all()
+    ratio = img1.mean() / img0.mean()
+    assert 0.7 < ratio < 1.4, f"bdpt fsd on/off mean ratio {ratio}"
+
+
+def test_bdpt_polarimetric_stokes():
+    """Polarimetric BDPT: Stokes output is physical (|pol| ≤ I) and the
+    I channel tracks the non-polarimetric bdpt render."""
+    scene = make_box_scene(res=16, spp=8)
+    scene.integrator.type = "plt_bdpt"
+    scene.integrator.fsd = False
+    scene.sensors[0].polarimetric = True
+    built = build_scene(scene)
+    img, st = render_scene(built, spp=8, batch_lanes=1 << 11)
+    assert st["mode"] == "bdpt"
+    assert img.shape[-1] == 12
+    st4 = img.reshape(*img.shape[:2], 3, 4)
+    I = st4[..., 0]
+    pol = np.sqrt((st4[..., 1:] ** 2).sum(-1))
+    lit = I > 1e-3 * I.max()
+    assert (pol[lit] <= I[lit] * 1.05 + 1e-12).all()
+    assert np.isfinite(st4).all()
+
+    scene.sensors[0].polarimetric = False
+    built = build_scene(scene)
+    ref, _ = render_scene(built, spp=8, batch_lanes=1 << 11)
+    np.testing.assert_allclose(I, ref[..., :3], rtol=1e-3,
+                               atol=1e-3 * ref.max())

@@ -2,7 +2,7 @@
 subpath vertex arrays.
 
 TPU re-design of reference include/wt/integrator/plt_bdpt/
-plt_bdpt_detail.hpp:528-930 and vertex.hpp:49-567: per lane, a camera
+plt_bdpt_detail.hpp:286-930 and vertex.hpp:49-567: per lane, a camera
 subpath and an emitter subpath are generated and stored as fixed-capacity
 SoA vertex arrays (position, normal, throughput, forward/reverse
 area-measure pdfs, delta flags); every (s, t) strategy is then connected
@@ -11,10 +11,23 @@ iteratively from the stored pdf arrays (the reference's
 bdpt_compute_mis_weight recursion, :604-716, unrolled over the fixed
 vertex capacity).
 
-v1 carries scalar intensity along subpaths (the Mueller-valued
-polarimetric connection of the reference is a planned upgrade) and omits
-the Fraunhofer FSD lobes inside the walks; light-tracing (t=1) splats are
-returned separately for the direct-splat film path.
+The walks carry a beam envelope and perform **Fraunhofer free-space
+diffraction** at mid-flight interaction regions (reference
+sample_fraunhofer_fsd_interaction, plt_bdpt_detail.hpp:286-346): edges
+inside the swept envelope form a canonical aperture (wave/fraunhofer.py),
+the un-blocked beam power I = 1 − ∫wavefront over clipped region
+triangles (find_closest_triangle, :353-419 — gaussian2d integrate
+triangle) normalizes the ASF, and an unbiased RIS draw redirects the
+beam. FSD vertices are stored with approximate reverse pdfs (the
+reference does the same, :334 "TODO: fsd reverse interaction pdf") and
+are skipped as connection endpoints in v1.
+
+Transport is fully polarimetric (reference beam.hpp:31-248): the camera
+subpath composes frame-aware Mueller operators, the light subpath carries
+Stokes vectors, and every connection rotates the light-side Stokes into
+the camera chain's expected frame before contraction (integrate_beams,
+beam.hpp:562-603). Light-tracing (t=1) splats are returned separately
+for the direct-splat film path.
 """
 
 from __future__ import annotations
@@ -22,43 +35,129 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from wave_tracer_tpu.accel import edges as edges_mod
 from wave_tracer_tpu.accel import trace as trace_mod
 from wave_tracer_tpu.bsdf import device as bsdf_dev
 from wave_tracer_tpu.emitter import table as etab
-from wave_tracer_tpu.integrator.path import _sample_emitter_by_power
+from wave_tracer_tpu.integrator.path import (_perp_axis, compose_scatter,
+                                             _sample_emitter_by_power)
+from wave_tracer_tpu.polarization import stokes as stokes_mod
 from wave_tracer_tpu.math import frame as frame_mod
+from wave_tracer_tpu.math import gaussian2d as g2d
 from wave_tracer_tpu.math import vec
 from wave_tracer_tpu.sampling import rng
-from wave_tracer_tpu.sensor import film as film_mod
+from wave_tracer_tpu.wave import beam as beam_geo
+from wave_tracer_tpu.wave import fraunhofer as fr
 
 BIG = 1e30
+Z_SCALE = 2.0          # interaction-region half-depth / footprint
+M_RIS = 8              # RIS proposals per FSD interaction
+K_TRI = 8              # region triangles for the blocked-flux integral
 
-# vertex types
-VT_NONE = 0
-VT_CAMERA = 1
-VT_LIGHT = 2
-VT_SURFACE = 3
+
+def _emit_at(arr, cur, val, do):
+    """Scatter per-lane val into slot `cur` of (N, V, ...) storage."""
+    V = arr.shape[1]
+    sel = (jnp.arange(V)[None, :] == cur[:, None]) & do[:, None]
+    extra = arr.ndim - 2
+    sel = sel.reshape(sel.shape + (1,) * extra)
+    val = val[:, None]
+    return jnp.where(sel, val, arr)
+
+
+def _safe_cross(a, b):
+    s = jnp.cross(a, b)
+    ln = jnp.linalg.norm(s, axis=-1, keepdims=True)
+    return jnp.where(ln < 1e-7, _perp_axis(a), s / jnp.maximum(ln, 1e-12))
+
+
+def _blocked_flux(geo, ro, rd, fx, fy, z_int, dz, x0, ta, sigma):
+    """Fraction of beam power blocked by front-facing geometry inside the
+    interaction region (reference find_closest_triangle integrate_tris,
+    plt_bdpt_detail.hpp:390-417): ball-query triangles, clip to the
+    z-slab in beam coordinates, cone-project onto the cross-section, and
+    integrate the Gaussian wavefront over each clipped polygon."""
+    N = ro.shape[0]
+    wp = ro + z_int[:, None] * rd
+    r_env = x0 + ta * z_int
+    r_ball = jnp.sqrt(r_env ** 2 + dz ** 2) * 1.05
+    idx, _, _ = trace_mod.tris_in_ball(geo, wp, r_ball, K_TRI)
+    i = jnp.maximum(idx, 0)
+    ok = idx >= 0
+    # geometry blocks regardless of facing (the reference integrates the
+    # record's facing side only, :395-397 — both-sided here; overlap
+    # double-counting is bounded by the 0.95 clip either way)
+
+    def to_local(v):
+        w = v - ro[:, None, :]
+        return jnp.stack([jnp.sum(w * fx[:, None, :], axis=-1),
+                          jnp.sum(w * fy[:, None, :], axis=-1),
+                          jnp.sum(w * rd[:, None, :], axis=-1)], axis=-1)
+
+    va = to_local(geo.p0[i])
+    vb = to_local(geo.p0[i] + geo.e1[i])
+    vc = to_local(geo.p0[i] + geo.e2[i])
+    z0 = jnp.broadcast_to((z_int - dz)[:, None], (N, K_TRI))
+    z1 = jnp.broadcast_to((z_int + dz)[:, None], (N, K_TRI))
+    verts, nv = g2d.clip_triangle_z(va, vb, vc, z0, z1)
+    # cone projection onto the cross-section at z_int: scale xy by
+    # r(z_int)/r(z) along the envelope's expansion lines
+    # (envelope.project_local, reference elliptic_cone.hpp)
+    rz = x0[:, None, None] + ta[:, None, None] * verts[..., 2]
+    factor = r_env[:, None, None] / jnp.maximum(rz, 1e-12)
+    xy = verts[..., :2] * factor[..., None]
+    sig = jnp.broadcast_to(sigma[:, None], (N, K_TRI))
+    mass = g2d.polygon_gaussian_mass(
+        jnp.concatenate([xy, verts[..., 2:]], axis=-1), nv, sig, sig)
+    blocked = jnp.sum(jnp.where(ok, mass, 0.0), axis=1)
+    return jnp.clip(blocked, 0.0, 0.95)
 
 
 def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
-          eps, salt_base, mode_camera):
-    """Random walk storing up to max_verts surface vertices.
+          eps, salt_base, *, ta0, polar, edge_table=None,
+          edge_clusters=None, fsd=False, K=8, subdiv=3):
+    """Random walk storing up to max_verts vertices (surface + FSD).
+
+    polar: "mueller" — the walk composes frame-aware Mueller operators
+    (camera subpath, backward transport); "stokes" — it propagates a
+    Stokes vector (light subpath, forward transport). Reference
+    beam_t<transport> (beam.hpp:31-248).
 
     Returns dict of (N, V, ...) arrays: p, ns, gn, uv, mat, wi (toward the
-    previous vertex, world), beta (throughput INTO the vertex, before its
-    BSDF), pdf_fwd (area pdf of this vertex from the previous one), delta
-    (previous scatter was specular), valid.
+    previous vertex, world), beta (scalar throughput INTO the vertex),
+    pol (Mueller (N,V,4,4) or Stokes (N,V,4) INTO the vertex), pax
+    (its transverse frame axis), pdf_fwd (area pdf of this vertex from
+    the previous one), delta (previous scatter was specular), fsd_v,
+    valid.
     """
     geo = data.geo
     tables = data.tables
+    et = data.emitters
     N = ro.shape[0]
     V = max_verts
+    use_fsd = bool(fsd) and edge_table is not None \
+        and int(edge_table.count) > 0
+    mueller = polar == "mueller"
+
+    if mueller:
+        pol0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                (N, 4, 4)) * beta0[:, None, None]
+        pol_store = jnp.zeros((N, V, 4, 4))
+        pax0 = _perp_axis(-rd)
+    else:
+        pol0 = stokes_mod.unpolarized(beta0)
+        pol_store = jnp.zeros((N, V, 4))
+        pax0 = _perp_axis(rd)
 
     init = dict(
         ro=ro, rd=rd, beta=beta0, pdf_dir=pdf_dir0,
+        pol=pol0, pax=pax0,
         active=jnp.ones((N,), bool),
         exclude=jnp.full((N,), -1, jnp.int32),
         delta=jnp.zeros((N,), bool),
+        env_x0=jnp.zeros((N,), jnp.float32),
+        env_ta=jnp.asarray(ta0) * jnp.ones((N,), jnp.float32),
+        cur=jnp.zeros((N,), jnp.int32),
         # storage
         p=jnp.zeros((N, V, 3)), ns=jnp.zeros((N, V, 3)),
         gn=jnp.zeros((N, V, 3)), uv=jnp.zeros((N, V, 2)),
@@ -66,20 +165,49 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         emitter=jnp.full((N, V), -1, jnp.int32),
         wi=jnp.zeros((N, V, 3)),
         beta_v=jnp.zeros((N, V)),
+        pol_v=pol_store,
+        pax_v=jnp.zeros((N, V, 3)),
         pdf_fwd=jnp.zeros((N, V)),
         pdf_rev=jnp.zeros((N, V)),
         delta_v=jnp.zeros((N, V), bool),
+        fsd_v=jnp.zeros((N, V), bool),
         valid=jnp.zeros((N, V), bool),
     )
 
     def body(i, st):
         dkeys = rng.depth_key(keys, salt_base + i)
+        lane = st["active"] & (st["cur"] < V)
         t, tri, u, v = trace_mod.trace(geo, st["ro"], st["rd"],
                                        jnp.full((N,), eps),
                                        jnp.full((N,), BIG), st["exclude"])
         hit = trace_mod.hit_attributes(geo, st["ro"], st["rd"], t, tri, u,
                                        v)
-        lane = st["active"] & hit.valid
+
+        # ---- edge sweep inside the beam envelope
+        if use_fsd:
+            zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"],
+                             8.0 * et.scene_radius)
+            if int(edge_table.count) > 2048 and edge_clusters is not None:
+                eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
+                    edge_table, edge_clusters, st["ro"], st["rd"],
+                    st["env_x0"], st["env_ta"], zmax, K)
+            else:
+                eidx, ez, ecnt = edges_mod.edges_near_ray(
+                    edge_table, st["ro"], st["rd"], st["env_x0"],
+                    st["env_ta"], zmax, K)
+            have_edges = ecnt > 0
+            z_first = jnp.where(have_edges, jnp.min(ez, axis=1), BIG)
+            fp_hit = st["env_x0"] + st["env_ta"] \
+                * jnp.where(hit.valid, hit.t, 0.0)
+            delta_hit = jnp.maximum(Z_SCALE * fp_hit, 4.0 * eps)
+            midflight = have_edges & (z_first < jnp.where(
+                hit.valid, hit.t - delta_hit, BIG))
+        else:
+            midflight = jnp.zeros((N,), bool)
+            z_first = jnp.full((N,), BIG)
+
+        surface = lane & hit.valid & ~midflight
+        midflight = lane & midflight
 
         # solid-angle → area pdf at the hit
         cos_hit = jnp.abs(vec.dot(st["rd"], hit.geo_n))
@@ -90,62 +218,187 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         sf = bsdf_dev.apply_normalmap(tables, hit.mat_id, hit.uv, k, sf)
         wi_l = sf.to_local(-st["rd"])
 
-        # store vertex i
-        st["p"] = st["p"].at[:, i].set(jnp.where(lane[:, None], hit.p, 0))
-        st["ns"] = st["ns"].at[:, i].set(
-            jnp.where(lane[:, None], sf.n, 0))
-        st["gn"] = st["gn"].at[:, i].set(
-            jnp.where(lane[:, None], hit.geo_n, 0))
-        st["uv"] = st["uv"].at[:, i].set(jnp.where(lane[:, None], hit.uv,
-                                                   0))
-        st["mat"] = st["mat"].at[:, i].set(jnp.where(lane, hit.mat_id,
-                                                     -1))
-        st["emitter"] = st["emitter"].at[:, i].set(
-            jnp.where(lane, hit.emitter_id, -1))
-        st["wi"] = st["wi"].at[:, i].set(
-            jnp.where(lane[:, None], -st["rd"], 0))
-        st["beta_v"] = st["beta_v"].at[:, i].set(
-            jnp.where(lane, st["beta"], 0.0))
-        st["pdf_fwd"] = st["pdf_fwd"].at[:, i].set(
-            jnp.where(lane, pdf_area, 0.0))
-        st["delta_v"] = st["delta_v"].at[:, i].set(lane & st["delta"])
-        st["valid"] = st["valid"].at[:, i].set(lane)
+        # ---- Fraunhofer FSD interaction at the mid-flight region
+        if use_fsd:
+            z_int = z_first
+            fp_int = st["env_x0"] + st["env_ta"] * z_int
+            wp = st["ro"] + z_int[:, None] * st["rd"]
+            sigma = jnp.maximum(fp_int, 1e-9) / beam_geo.ENVELOPE
+            fx = _perp_axis(st["rd"])
+            fy = jnp.cross(st["rd"], fx)
+            ap, scale = fr.build_aperture_3d(
+                edge_table, eidx, wp, st["rd"], fx, fy, sigma,
+                jnp.maximum(fp_int, 1e-9), k, subdiv=subdiv)
+            dz = jnp.maximum(Z_SCALE * fp_int, 4.0 * eps)
+            blocked = _blocked_flux(geo, st["ro"], st["rd"], fx, fy,
+                                    z_int, dz, st["env_x0"],
+                                    st["env_ta"], sigma)
+            recp_I = 1.0 / jnp.maximum(1.0 - blocked, 0.05)
+            uR = rng.uniform(dkeys, rng.D_FSD, 4 * M_RIS + 1)
+            xi, asf_v, w_ris, vs = fr.sample_xi_sir(
+                ap, uR[:, :4 * M_RIS].reshape(N, M_RIS, 4),
+                uR[:, 4 * M_RIS])
+            wo_l, ok_wo = fr.xi_to_wo(xi, scale)
+            wo_fsd = wo_l[:, 0:1] * fx + wo_l[:, 1:2] * fy \
+                + wo_l[:, 2:3] * st["rd"]
+            # the FSD scatter redistributes the full beam power — the
+            # reference's sampler returns weight 1 and its BSDF value
+            # equals its pdf (fsd_sampler.cpp:105-110, fsd wrapper
+            # f() = pdf·sr); the unnormalized ASF·recp_I enters only the
+            # MIS bookkeeping
+            w_fsd = jnp.ones((N,))
+            pdf_fsd = asf_v * recp_I
+            ap_any = jnp.any(ap.valid, axis=1)
+            fsd_lane = midflight & ap_any & vs & ok_wo \
+                & jnp.isfinite(pdf_fsd) & (pdf_fsd > 0)
+            null_lane = midflight & ~ap_any
+            # (midflight lanes with a non-empty aperture but an invalid
+            # draw terminate, as in the reference :322-324)
+        else:
+            z_int = z_first
+            wp = st["ro"]
+            fp_int = jnp.zeros((N,))
+            wo_fsd = st["rd"]
+            w_fsd = jnp.ones((N,))
+            pdf_fsd = jnp.ones((N,))
+            fsd_lane = jnp.zeros((N,), bool)
+            null_lane = jnp.zeros((N,), bool)
 
-        # continue the walk
+        # ---- store vertex (surface or FSD; null consumes no slot)
+        store = surface | fsd_lane
+        pdf_fwd_v = jnp.where(surface, pdf_area,
+                              st["pdf_dir"] / jnp.maximum(z_int, 1e-9)
+                              ** 2)
+        st["p"] = _emit_at(st["p"], st["cur"],
+                           jnp.where(surface[:, None], hit.p, wp), store)
+        st["ns"] = _emit_at(st["ns"], st["cur"],
+                            jnp.where(surface[:, None], sf.n, st["rd"]),
+                            store)
+        st["gn"] = _emit_at(st["gn"], st["cur"],
+                            jnp.where(surface[:, None], hit.geo_n,
+                                      st["rd"]), store)
+        st["uv"] = _emit_at(st["uv"], st["cur"], hit.uv, store)
+        st["mat"] = _emit_at(st["mat"], st["cur"],
+                             jnp.where(surface, hit.mat_id, -1), store)
+        st["emitter"] = _emit_at(st["emitter"], st["cur"],
+                                 jnp.where(surface, hit.emitter_id, -1),
+                                 store)
+        st["wi"] = _emit_at(st["wi"], st["cur"], -st["rd"], store)
+        st["beta_v"] = _emit_at(st["beta_v"], st["cur"], st["beta"],
+                                store)
+        st["pol_v"] = _emit_at(st["pol_v"], st["cur"], st["pol"], store)
+        st["pax_v"] = _emit_at(st["pax_v"], st["cur"], st["pax"], store)
+        st["pdf_fwd"] = _emit_at(st["pdf_fwd"], st["cur"], pdf_fwd_v,
+                                 store)
+        st["delta_v"] = _emit_at(st["delta_v"], st["cur"], st["delta"],
+                                 store)
+        st["fsd_v"] = _emit_at(st["fsd_v"], st["cur"], fsd_lane, store)
+        st["valid"] = _emit_at(st["valid"], st["cur"],
+                               jnp.ones((N,), bool), store)
+
+        # ---- continue the walk
         u_b = jnp.concatenate([
             rng.uniform(dkeys, rng.D_BSDF_LOBE, 2),
             rng.uniform(dkeys, rng.D_BSDF_DIR, 2)], axis=-1)
         bs = bsdf_dev.sample(tables, hit.mat_id, wi_l, hit.uv, k, u_b)
         wo_w = sf.to_world(bs.wo)
-        beta_next = st["beta"] * jnp.abs(bs.Mw[:, 0, 0])
 
-        # reverse pdf of the PREVIOUS vertex from here (for MIS): density
-        # of sampling wi from wo at this vertex
+        # reverse pdf of the PREVIOUS vertex from here (for MIS)
         f_rev, pdf_rev_dir = bsdf_dev.eval_f(tables, hit.mat_id, bs.wo,
                                              wi_l, hit.uv, k)
-        prev_cos = jnp.abs(vec.dot(st["rd"],
-                                   st["gn"][:, jnp.maximum(i - 1, 0)]))
-        prev_d2 = d2
+        prev_c = jnp.maximum(st["cur"] - 1, 0)
+        prev_gn = jnp.take_along_axis(
+            st["gn"], prev_c[:, None, None].repeat(3, axis=-1),
+            axis=1)[:, 0, :]
+        prev_cos = jnp.abs(vec.dot(st["rd"], prev_gn))
         pdf_rev_prev = jnp.where(bs.specular, 0.0,
-                                 pdf_rev_dir * prev_cos / prev_d2)
-        has_prev = i > 0
-        st["pdf_rev"] = st["pdf_rev"].at[:, jnp.maximum(i - 1, 0)].set(
-            jnp.where(lane & has_prev, pdf_rev_prev,
-                      st["pdf_rev"][:, jnp.maximum(i - 1, 0)]))
+                                 pdf_rev_dir * prev_cos / d2)
+        pdf_rev_prev = jnp.where(
+            fsd_lane,
+            pdf_fsd * prev_cos / jnp.maximum(z_int, 1e-9) ** 2,
+            pdf_rev_prev)
+        st["pdf_rev"] = _emit_at(st["pdf_rev"], prev_c, pdf_rev_prev,
+                                 store & (st["cur"] > 0))
 
-        active = lane & bs.valid & (beta_next > 1e-25)
-        st["ro"] = jnp.where(active[:, None], hit.p, st["ro"])
-        st["rd"] = jnp.where(active[:, None], wo_w, st["rd"])
+        # envelope updates
+        cosg = jnp.maximum(jnp.abs(vec.dot(st["rd"], hit.geo_n)), 0.05)
+        fp_hit_s = st["env_x0"] + st["env_ta"] * hit.t
+        x0_surf = fp_hit_s / cosg
+        ta_mub = beam_geo.minimum_uncertainty_tan_alpha(
+            jnp.maximum(x0_surf, 1e-9) ** 2, k)
+        ta_surf = jnp.where(bs.specular, st["env_ta"],
+                            jnp.minimum(ta_mub, 0.3))
+        ta_fsd = beam_geo.minimum_uncertainty_tan_alpha(
+            jnp.maximum(fp_int, 1e-9) ** 2, k)
+
+        beta_surf = st["beta"] * jnp.abs(bs.Mw[:, 0, 0])
+        beta_next = jnp.where(surface, beta_surf,
+                              st["beta"] * jnp.where(fsd_lane, w_fsd,
+                                                     1.0))
+
+        # polarized throughput update (frame-aware; reference
+        # beam.transform_surface_interaction / transform_region_interaction)
+        if mueller:
+            pol_surf, pax_surf = compose_scatter(st["pol"], st["pax"],
+                                                 -st["rd"], bs.Mw, -wo_w)
+        else:
+            s_ax = _safe_cross(st["rd"], wo_w)
+            S_rot = stokes_mod.reorient(st["pol"], st["pax"], s_ax,
+                                        st["rd"])
+            pol_surf = jnp.einsum("nij,nj->ni", bs.Mw, S_rot)
+            pax_surf = s_ax
+
+        cont = (surface & bs.valid) | fsd_lane | null_lane
+        active = lane & cont & (beta_next > 1e-25)
+        ro_new = jnp.where(surface[:, None], hit.p, wp)
+        rd_new = jnp.where(surface[:, None], wo_w,
+                           jnp.where(fsd_lane[:, None], wo_fsd,
+                                     st["rd"]))
+        scl_mid = jnp.where(fsd_lane, w_fsd, 1.0)
+        # FSD turns parallel-transport the transverse axis onto the new
+        # direction (Gram–Schmidt); null continuation keeps it
+        gs = st["pax"] - rd_new * vec.dot(st["pax"], rd_new)[:, None]
+        gl = jnp.linalg.norm(gs, axis=-1, keepdims=True)
+        pax_pt = jnp.where(gl < 1e-6, _perp_axis(rd_new),
+                           gs / jnp.maximum(gl, 1e-12))
+        pax_mid = jnp.where(fsd_lane[:, None], pax_pt, st["pax"])
+        if mueller:
+            pol_new = jnp.where(surface[:, None, None], pol_surf,
+                                st["pol"] * scl_mid[:, None, None])
+        else:
+            pol_new = jnp.where(surface[:, None], pol_surf,
+                                st["pol"] * scl_mid[:, None])
+        pax_new = jnp.where(surface[:, None], pax_surf, pax_mid)
+        st["pol"] = jnp.where(
+            active.reshape((N,) + (1,) * (pol_new.ndim - 1)), pol_new,
+            st["pol"])
+        st["pax"] = jnp.where(active[:, None], pax_new, st["pax"])
+        st["ro"] = jnp.where(active[:, None], ro_new, st["ro"])
+        st["rd"] = jnp.where(active[:, None], rd_new, st["rd"])
         st["beta"] = jnp.where(active, beta_next, st["beta"])
-        st["pdf_dir"] = jnp.where(active,
-                                  jnp.where(bs.specular, 1.0, bs.pdf),
-                                  st["pdf_dir"])
-        st["exclude"] = jnp.where(active, hit.tri, st["exclude"])
-        st["delta"] = jnp.where(active, bs.specular, st["delta"])
+        st["pdf_dir"] = jnp.where(
+            active, jnp.where(surface,
+                              jnp.where(bs.specular, 1.0, bs.pdf),
+                              jnp.where(fsd_lane, pdf_fsd,
+                                        st["pdf_dir"])), st["pdf_dir"])
+        st["exclude"] = jnp.where(active & surface, hit.tri,
+                                  jnp.where(active, -1, st["exclude"]))
+        st["delta"] = jnp.where(active,
+                                jnp.where(surface, bs.specular, False),
+                                st["delta"])
+        st["env_x0"] = jnp.where(
+            active, jnp.where(surface, x0_surf,
+                              jnp.where(fsd_lane, 1e-6, fp_int)),
+            st["env_x0"])
+        st["env_ta"] = jnp.where(
+            active, jnp.where(surface, ta_surf,
+                              jnp.where(fsd_lane, ta_fsd,
+                                        st["env_ta"])), st["env_ta"])
+        st["cur"] = st["cur"] + store.astype(jnp.int32)
         st["active"] = active
         return st
 
-    st = jax.lax.fori_loop(0, V, body, init)
+    st = jax.lax.fori_loop(0, V + 2, body, init)
     return st
 
 
@@ -158,7 +411,8 @@ def _geometry_term(pa, na, pb, nb):
 
 
 def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
-               max_depth: int = 4, eps: float = 1e-5):
+               max_depth: int = 4, eps: float = 1e-5, fsd: bool = False,
+               K: int = 8):
     """One BDPT batch. Returns (pos, values (N,C), ok, light_splats):
     light_splats = (pos_lt (N,2), values_lt (N,C), ok_lt) from the t=1
     light-tracing strategy, to be splat_direct'ed."""
@@ -170,6 +424,8 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
     S = max_depth          # camera subpath vertices
     T = max_depth          # light subpath vertices (incl. emitter vertex 0
                            # handled separately)
+    edge_table = getattr(data, "edges", None)
+    edge_clusters = getattr(data, "edge_clusters", None)
 
     pixel_id = pixel_xy[:, 1] * sensor.width + pixel_xy[:, 0]
     keys = rng.sample_key(base_key, pixel_id, sample_ids)
@@ -180,10 +436,12 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
     w_spectral = 1.0 / jnp.maximum(sp.joint_spectral_density(k), 1e-30)
 
     # ---- camera subpath
-    ro_c, rd_c, _ = sensor.generate_rays(pixel_xy, jitter)
+    ro_c, rd_c, pixel_tan_alpha = sensor.generate_rays(pixel_xy, jitter)
     cam = _walk(data, sensor, keys, k, ro_c, rd_c,
                 jnp.full((N,), sensor.importance()),
-                jnp.full((N,), 1.0), S, eps, 0, True)
+                jnp.full((N,), 1.0), S, eps, 0, polar="mueller",
+                ta0=0.5 * pixel_tan_alpha, edge_table=edge_table,
+                edge_clusters=edge_clusters, fsd=fsd, K=K)
 
     # ---- light subpath (vertex 0 on the emitter)
     u_em = jnp.concatenate([rng.uniform(keys, rng.D_EMITTER_POS, 3),
@@ -194,14 +452,26 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
     # beta after leaving the light: Le·cos/(pdfs) (weight already includes
     # the cosine and pdfs), divided by the emitter pick pmf
     beta_l0 = em["weight"] / jnp.maximum(pmf_e, 1e-30)
+    # emitter phase-space sourcing (mirrors plt_path_forward)
+    pse = et.pse_scale[e0]
+    cosc = et.cos_cutoff[e0]
+    ta_l = jnp.sqrt(jnp.maximum(1.0 - cosc * cosc, 1e-12)) \
+        / jnp.maximum(cosc, 0.1) * pse
+    ta_l = jnp.where(et.etype[e0] == etab.ET_SPOT, ta_l, 0.05 * pse)
+    _, ta_l = beam_geo.make_mub(jnp.zeros((N,)), ta_l, k)
     lgt = _walk(data, sensor, keys, k, em["y"], em["wo"], beta_l0,
-                em["pdf_dir"], T, eps, 32, False)
-    pdf_light_area = em["pdf_area"] * pmf_e   # area pdf of the emitter pt
+                em["pdf_dir"], T, eps, 32, ta0=ta_l, polar="stokes",
+                edge_table=edge_table, edge_clusters=edge_clusters,
+                fsd=fsd, K=K)
 
     C = sensor.response.channels
     sens = sensor.response.sensitivities(k, tables.spectra, None)
+    polarimetric = bool(getattr(sensor, "polarimetric", False))
 
-    L = jnp.zeros((N,), jnp.float32)
+    def contrib4(M, Sv):
+        return jnp.einsum("nij,nj->ni", M, Sv)
+
+    L = jnp.zeros((N, 4), jnp.float32)
 
     def mis_weight(s_len, t_len, pdf_conn_cam, pdf_conn_lgt):
         """Balance-heuristic weight for strategy (s_len light vertices,
@@ -211,7 +481,6 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         pdf_conn_cam: area pdf of the camera-side connection vertex if it
         had been sampled from the light side; pdf_conn_lgt vice versa.
         """
-        one = jnp.ones((N,))
         ssum = jnp.zeros((N,))
         # camera-side alternatives
         ri = jnp.where(cam["pdf_fwd"][:, t_len - 1] > 0,
@@ -252,18 +521,18 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
             vec.dot(cam["wi"][:, v], cam["gn"][:, v]))
         ok = cam["valid"][:, v] & (Le > 0)
         # pdf of this vertex as a light sample (area)
-        eid = jnp.maximum(cam["emitter"][:, v], 0)
         pdf_as_light = jnp.where(
-            ok, sp.pmf_emitter(eid) * 0.0
-            + _emitter_area_pdf(et, cam["emitter"][:, v]), 0.0)
+            ok, _emitter_area_pdf(et, cam["emitter"][:, v]), 0.0)
         w = jnp.where(t == 1, 1.0,
                       mis_weight(0, t, pdf_as_light, jnp.zeros((N,))))
-        L = L + jnp.where(ok, w * cam["beta_v"][:, v] * Le, 0.0)
+        c_emit = contrib4(cam["pol_v"][:, v], stokes_mod.unpolarized(Le))
+        L = L + jnp.where(ok[:, None], w[..., None] * c_emit, 0.0)
 
     # ---- strategies s=1 (NEE) and s>=2 (general connections)
     for t in range(1, S + 1):
         cv = t - 1
-        cam_ok = cam["valid"][:, cv] & ~cam["delta_v"][:, cv]
+        cam_ok = cam["valid"][:, cv] & ~cam["delta_v"][:, cv] \
+            & ~cam["fsd_v"][:, cv]
         sfc = frame_mod.build_shading_frame(cam["ns"][:, cv],
                                             _tangent_of(cam["ns"][:, cv]))
         wi_c = sfc.to_local(cam["wi"][:, cv])
@@ -282,21 +551,25 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
             nee["dist"] - 2 * eps, jnp.full((N,), -1, jnp.int32),
             nee["tri"])
         pdf_nee = pmf_n * nee["pdf_sa"]
-        contrib = cam["beta_v"][:, cv] * f_c[:, 0, 0] * nee["Li"] \
-            / jnp.maximum(pdf_nee, 1e-30)
+        M_nee, _ = compose_scatter(cam["pol_v"][:, cv],
+                                   cam["pax_v"][:, cv],
+                                   cam["wi"][:, cv], f_c, -nee["wo"])
+        c_nee = contrib4(M_nee, stokes_mod.unpolarized(nee["Li"])) \
+            / jnp.maximum(pdf_nee, 1e-30)[:, None]
         # MIS vs hitting the light by BSDF sampling
         w = jnp.where(nee["delta_dir"], 1.0,
                       _ph(pdf_nee, pdf_c))
         ok = cam_ok & nee["valid"] & ~occ & (pdf_nee > 0) \
             & (f_c[:, 0, 0] > 0)
-        L = L + jnp.where(ok, w * contrib, 0.0)
+        L = L + jnp.where(ok[:, None], w[..., None] * c_nee, 0.0)
 
         # s>=2: connect to stored light vertices
         for s in range(2, T + 2):
             lv = s - 2
             if lv >= T:
                 continue
-            l_ok = lgt["valid"][:, lv] & ~lgt["delta_v"][:, lv]
+            l_ok = lgt["valid"][:, lv] & ~lgt["delta_v"][:, lv] \
+                & ~lgt["fsd_v"][:, lv]
             G, dn, dist = _geometry_term(cam["p"][:, cv],
                                          cam["ns"][:, cv],
                                          lgt["p"][:, lv],
@@ -320,19 +593,32 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
                                 1e-7)
             cos_l = jnp.maximum(jnp.abs(vec.dot(dn, lgt["ns"][:, lv])),
                                 1e-7)
-            contrib = cam["beta_v"][:, cv] * (f_cam[:, 0, 0] / cos_c) \
-                * G * (f_lgt[:, 0, 0] / cos_l) * lgt["beta_v"][:, lv]
+            # polarized connection (integrate_beams, beam.hpp:562-603):
+            # light-side Stokes through its BSDF, reoriented into the
+            # camera chain's expected transverse frame, contracted
+            d_in_l = -lgt["wi"][:, lv]
+            s_ax_l = _safe_cross(d_in_l, -dn)
+            S_rot = stokes_mod.reorient(lgt["pol_v"][:, lv],
+                                        lgt["pax_v"][:, lv], s_ax_l,
+                                        d_in_l)
+            S1 = jnp.einsum("nij,nj->ni", f_lgt, S_rot)
+            M_conn, x_in = compose_scatter(cam["pol_v"][:, cv],
+                                           cam["pax_v"][:, cv],
+                                           cam["wi"][:, cv], f_cam, -dn)
+            S2 = stokes_mod.reorient(S1, s_ax_l, x_in, -dn)
+            geom = G / (cos_c * cos_l)
+            c_conn = contrib4(M_conn, S2) * geom[:, None]
             pdf_conn_cam = pdf_lgt_dir * cos_c \
                 / jnp.maximum(dist, 1e-9) ** 2
             pdf_conn_lgt = pdf_cam_dir * cos_l \
                 / jnp.maximum(dist, 1e-9) ** 2
             w = mis_weight(s - 1, t, pdf_conn_cam, pdf_conn_lgt)
-            ok = cam_ok & l_ok & ~occ2 & (contrib > 0)
-            L = L + jnp.where(ok, w * contrib, 0.0)
+            ok = cam_ok & l_ok & ~occ2 & (c_conn[:, 0] > 0)
+            L = L + jnp.where(ok[:, None], w[..., None] * c_conn, 0.0)
 
     # ---- t=1: light tracing onto the sensor
     lt_pos = jnp.zeros((N, 2))
-    lt_val = jnp.zeros((N,))
+    lt_val = jnp.zeros((N, 4))
     lt_ok = jnp.zeros((N,), bool)
     for s in range(2, T + 2):
         lv = s - 2
@@ -359,21 +645,31 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         A_img = (2 * tan_half) * (2 * tan_half
                                   * sensor.height / sensor.width)
         W_cam = 1.0 / (A_img * jnp.maximum(cosz, 1e-3) ** 4)
-        cos_l = jnp.maximum(jnp.abs(vec.dot(dn_cam,
-                                            lgt["ns"][:, lv])), 1e-7)
-        val = lgt["beta_v"][:, lv] * (f_l[:, 0, 0] / cos_l) * cos_l \
-            * W_cam / jnp.maximum(dist_c, 1e-9) ** 2
-        ok = lgt["valid"][:, lv] & ~lgt["delta_v"][:, lv] & visible \
-            & ~occ3 & (val > 0)
+        # light-side Stokes through its BSDF toward the camera (the
+        # pinhole importance is Mueller-identity × W)
+        d_in_l = -lgt["wi"][:, lv]
+        s_ax_l = _safe_cross(d_in_l, -dn_cam)
+        S_rot = stokes_mod.reorient(lgt["pol_v"][:, lv],
+                                    lgt["pax_v"][:, lv], s_ax_l, d_in_l)
+        S1 = jnp.einsum("nij,nj->ni", f_l, S_rot)
+        val = S1 * (W_cam / jnp.maximum(dist_c, 1e-9) ** 2)[:, None]
+        ok = lgt["valid"][:, lv] & ~lgt["delta_v"][:, lv] \
+            & ~lgt["fsd_v"][:, lv] & visible & ~occ3 & (val[:, 0] > 0)
         better = ok & ~lt_ok
         lt_pos = jnp.where(better[:, None], pxy_l, lt_pos)
-        lt_val = jnp.where(better, val, lt_val)
+        lt_val = jnp.where(better[:, None], val, lt_val)
         lt_ok = lt_ok | ok
 
     splat_pos = pixel_xy.astype(jnp.float32) + jitter
-    values = (L * w_spectral)[:, None] * sens
-    lt_values = (lt_val * w_spectral)[:, None] * sens
+    Lw = L * w_spectral[:, None]
+    ltw = lt_val * w_spectral[:, None]
     npix = sensor.width * sensor.height
+    if polarimetric:
+        values = (Lw[:, None, :] * sens[..., None]).reshape(N, -1)
+        lt_values = (ltw[:, None, :] * sens[..., None]).reshape(N, -1)
+    else:
+        values = Lw[:, 0:1] * sens
+        lt_values = ltw[:, 0:1] * sens
     return (splat_pos, values, jnp.ones((N,), bool),
             (lt_pos, lt_values / npix, lt_ok))
 

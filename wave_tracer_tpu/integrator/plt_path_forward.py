@@ -22,11 +22,13 @@ from wave_tracer_tpu.accel import edges as edges_mod
 from wave_tracer_tpu.accel import trace as trace_mod
 from wave_tracer_tpu.bsdf import device as bsdf_dev
 from wave_tracer_tpu.emitter import table as etab
-from wave_tracer_tpu.integrator.path import _sample_emitter_by_power
+from wave_tracer_tpu.integrator.path import (_perp_axis,
+                                             _sample_emitter_by_power)
 from wave_tracer_tpu.math import frame as frame_mod
 from wave_tracer_tpu.math import vec
 from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.wave import beam as beam_geo
+from wave_tracer_tpu.wave import fraunhofer as fr
 from wave_tracer_tpu.wave import fsd as fsd_mod
 
 BIG = 1e30
@@ -36,19 +38,28 @@ Z_SCALE = 2.0
 def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                   edge_table, max_depth: int = 8, rr_depth: int = 3,
                   rr_floor: float = 0.5, eps: float = 1e-5,
-                  fsd: bool = True, K: int = 8):
+                  fsd: bool = True, K: int = 8, fsd_mode: str = "utd"):
     """Forward light-trace batch.
 
     Each lane emits one beam and records its first virtual-plane crossing
     (beams rarely cross the plane twice; the carried accumulator keeps the
     first). Returns (splat_pos (N, 2), values (N, C), valid) for the
     direct-splat film path.
+
+    fsd_mode selects the diffraction model: "utd" — the plt_path deferred
+    coherent UTD carry (reference plt_path_detail.hpp:591-610);
+    "fraunhofer" — the plt_bdpt-style Fraunhofer ASF interaction
+    (reference plt_bdpt_detail.hpp:286-346): the coherent interference is
+    baked into the sampled scatter directions, so crossings splat the
+    plain beam weight. This is the reference's t=0 connection strategy
+    for virtual sensors under plt_bdpt (plt_bdpt_detail.hpp:784-816).
     """
     geo = data.geo
     tables = data.tables
     et = data.emitters
     sp = data.spectral
     N = lane_ids.shape[0]
+    utd = fsd_mode != "fraunhofer"
 
     keys = rng.sample_key(base_key, lane_ids, sample_ids)
 
@@ -178,7 +189,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             & (tpl < jnp.minimum(seg_end, z_int + delta_hit)) \
             & (cos_in > 0)
         plane_p = st["ro"] + tpl[:, None] * st["rd"]
-        f_seg = fsd_factor(st, plane_p, hit.tri) if fsd \
+        f_seg = fsd_factor(st, plane_p, hit.tri) if (fsd and utd) \
             else jnp.ones((N,))
         contrib = st["w"] * W_sens * f_seg
         # record first crossing only; splat σ = wavefront σ (envelope/3)
@@ -192,8 +203,9 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         sig = jnp.where(newly, sig_el, st["sig"])
         hit_plane = st["hit_plane"] | crosses
 
-        # ---- deferred FSD modulation for the continuing beam
-        if fsd:
+        # ---- deferred FSD modulation for the continuing beam (UTD only;
+        # the Fraunhofer model bakes coherence into the scatter draws)
+        if fsd and utd:
             dst_seg = jnp.where(has_interaction[:, None], wp,
                                 st["ro"] + (4.0 * data.emitters.
                                             scene_radius) * st["rd"])
@@ -224,7 +236,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                             jnp.minimum(ta_mub2, 0.3))
 
         # ---- FSD interaction
-        if fsd:
+        if fsd and utd:
             ap_now = fsd_mod.build_aperture(
                 edge_table, eidx, wp, -st["rd"], Z_SCALE * fp_int)
             u_fsd = jnp.concatenate(
@@ -235,6 +247,31 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                 fsmp["is_direct"],
                 (ap_now.count() + 1).astype(jnp.float32),
                 1.0 / jnp.maximum(fsmp["pdf"], 1e-20))
+            fsd_lane = midflight & fsmp["valid"]
+        elif fsd:
+            # Fraunhofer ASF interaction (plt_bdpt_detail.hpp:286-346):
+            # power-preserving redirection, direction ~ coherent ASF
+            from wave_tracer_tpu.integrator.plt_bdpt import M_RIS
+            ap_now = fsd_mod.empty_aperture(N, K)
+            sigma = jnp.maximum(fp_int, 1e-9) / beam_geo.ENVELOPE
+            fx = _perp_axis(st["rd"])
+            fy = jnp.cross(st["rd"], fx)
+            fap, scale = fr.build_aperture_3d(
+                edge_table, eidx, wp, st["rd"], fx, fy, sigma,
+                jnp.maximum(fp_int, 1e-9), k)
+            uR = rng.uniform(dkeys, rng.D_FSD, 4 * M_RIS + 1)
+            xi, asf_v, _, vs = fr.sample_xi_sir(
+                fap, uR[:, :4 * M_RIS].reshape(N, M_RIS, 4),
+                uR[:, 4 * M_RIS])
+            wo_l, ok_wo = fr.xi_to_wo(xi, scale)
+            wo_fr = wo_l[:, 0:1] * fx + wo_l[:, 1:2] * fy \
+                + wo_l[:, 2:3] * st["rd"]
+            fsmp = dict(wo=wo_fr, p=wp,
+                        is_direct=jnp.zeros((N,), bool),
+                        pdf=jnp.ones((N,)),
+                        valid=jnp.any(fap.valid, axis=1) & vs & ok_wo)
+            w_fsd_scale = jnp.ones((N,))
+            fsd_lane = midflight & fsmp["valid"]
         else:
             ap_now = fsd_mod.empty_aperture(N, K)
             fsmp = dict(wo=st["rd"], p=wp,
@@ -242,8 +279,8 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                         pdf=jnp.ones((N,)),
                         valid=jnp.zeros((N,), bool))
             w_fsd_scale = jnp.ones((N,))
+            fsd_lane = jnp.zeros((N,), bool)
 
-        fsd_lane = midflight & fsmp["valid"] & jnp.asarray(fsd)
         null_lane = midflight & ~fsd_lane
 
         ro_new = jnp.where(surface[:, None], hit.p,

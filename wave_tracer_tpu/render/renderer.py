@@ -69,12 +69,12 @@ class Renderer:
         cfg = scene.integrator
         eps = 1e-4 * scene.world_radius()
         n_edges = int(data.edges.count)
-        wave = (cfg.fsd and not sensor.ray_trace_only
-                and not cfg.ray_trace_only
-                and 0 < n_edges <= MAX_FSD_EDGES)
-        bdpt = (cfg.type == "plt_bdpt" and not wave
-                and not sensor.ray_trace_only and not cfg.ray_trace_only
-                and not getattr(sensor, "polarimetric", False))
+        fsd_on = (cfg.fsd and not sensor.ray_trace_only
+                  and not cfg.ray_trace_only
+                  and 0 < n_edges <= MAX_FSD_EDGES)
+        bdpt = (cfg.type == "plt_bdpt"
+                and not sensor.ray_trace_only and not cfg.ray_trace_only)
+        wave = fsd_on and not bdpt
 
         npixels = W * H
         lanes = self.batch_lanes
@@ -82,7 +82,7 @@ class Renderer:
         spp_per_batch = min(max(lanes // pix_per_batch, 1), spp)
 
         kern = make_render_kernel(sensor, cfg.max_depth, eps, cfg.mis,
-                                  wave, bdpt)
+                                  wave, bdpt, bdpt_fsd=fsd_on)
 
         n_pix_batches = -(-npixels // pix_per_batch)
         npix_dev = jnp.asarray(npixels)
@@ -129,7 +129,9 @@ class Renderer:
 
         total_paths = spp * W * H
         lanes = self.batch_lanes
-        kern = make_forward_kernel(sensor, cfg.max_depth, eps, wave)
+        fsd_mode = "fraunhofer" if cfg.type == "plt_bdpt" else "utd"
+        kern = make_forward_kernel(sensor, cfg.max_depth, eps, wave,
+                                   fsd_mode)
 
         t0 = time.time()
         done = 0
@@ -153,7 +155,8 @@ class Renderer:
                          mode="forward-wave" if wave else "forward")
 
 
-def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False):
+def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False,
+                       bdpt_fsd=False):
     """Jitted backward launch: sweep all pixel batches for one spp chunk
     inside a single dispatch (device-side fori_loop over batches)."""
 
@@ -190,7 +193,7 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False):
             if bdpt:
                 pos, values, ok, (lt_pos, lt_val, lt_ok) = trace_bdpt(
                     data, pxy, jit_u, base_key, sid, sensor=sensor,
-                    max_depth=min(max_depth, 4), eps=eps)
+                    max_depth=min(max_depth, 4), eps=eps, fsd=bdpt_fsd)
                 film = film_mod.splat_direct(film, lt_pos, lt_val,
                                              lt_ok & live)
             elif wave:
@@ -209,7 +212,7 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False):
     return kern
 
 
-def make_forward_kernel(sensor, max_depth, eps, wave):
+def make_forward_kernel(sensor, max_depth, eps, wave, fsd_mode="utd"):
     """Jitted forward launch: emit lanes, record plane crossings."""
 
     @jax.jit
@@ -217,7 +220,7 @@ def make_forward_kernel(sensor, max_depth, eps, wave):
         pos, values, ok, sig = trace_forward(
             data, lane_ids, base_key, sids, sensor=sensor,
             edge_table=data.edges, max_depth=max_depth, eps=eps,
-            fsd=wave)
+            fsd=wave, fsd_mode=fsd_mode)
         return film_mod.splat_direct_gaussian(film, pos, sig, values,
                                               ok & live)
 
