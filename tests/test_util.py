@@ -98,3 +98,22 @@ class TestEXR:
         write_exr(p, img, half=False, compress=False)
         out, names = read_exr(p)
         np.testing.assert_allclose(out[..., 0], img, atol=1e-7)
+
+
+class TestDeviceCounters:
+    def test_render_reports_counters(self):
+        import jax
+        from tests.test_render import make_box_scene
+        from wave_tracer_tpu.render import render_scene
+        from wave_tracer_tpu.scene import build_scene
+
+        scene = make_box_scene(res=8, spp=2)
+        scene.integrator.fsd = False
+        built = build_scene(scene)
+        img, st = render_scene(built, spp=2, batch_lanes=1 << 8)
+        c = st["device_counters"]
+        assert c["rays_cast"] > 0
+        assert c["surface_interactions"] > 0
+        # every surface interaction issues one NEE shadow ray (ray mode)
+        assert c["shadow_rays"] == c["surface_interactions"]
+        assert c["sum_path_depth"] <= c["rays_cast"]

@@ -64,14 +64,28 @@ def compose_scatter(M_old, x_old, d_out, M_b, d_in):
     return M_new, s_axis
 
 
+# device-counter layout (reference ads_stats.hpp / integrator/stats.hpp
+# equivalents, carried in the wavefront state per SURVEY §5.1)
+STAT_RAYS = 0          # primary/bounce traces issued
+STAT_SHADOW = 1        # shadow rays issued
+STAT_SURFACE = 2       # surface interactions
+STAT_FSD = 3           # free-space-diffraction interactions
+STAT_NULL = 4          # null interactions (region restarts)
+STAT_RR_KILL = 5       # lanes terminated by russian roulette
+STAT_DEPTH_SUM = 6     # Σ completed path depths (mean = /paths)
+STAT_EDGE_HIT = 7      # lanes whose envelope swept ≥1 edge
+N_STATS = 8
+
+
 def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
                 sensor, max_depth: int = 8, rr_depth: int = 3,
                 rr_floor: float = 0.5, eps: float = 1e-5,
-                mis: bool = True):
+                mis: bool = True, with_stats: bool = False):
     """Trace one batch of backward paths.
 
     data: SceneData. pixel_xy (N, 2) i32; jitter (N, 2); sample_ids (N,).
-    Returns (pos (N,2) splat positions, values (N,C), valid (N,)).
+    Returns (pos (N,2) splat positions, values (N,C), valid (N,));
+    with_stats appends an (N_STATS,) f32 device-counter vector.
     """
     geo = data.geo
     tables = data.tables
@@ -106,6 +120,7 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
         exclude=jnp.full((N,), -1, jnp.int32),
         prev_pdf=jnp.zeros((N,), jnp.float32),
         prev_specular=jnp.ones((N,), bool),   # depth 0 counts as specular
+        stats=jnp.zeros((N_STATS,), jnp.float32),
     )
 
     def contribution(M, Li):
@@ -186,6 +201,15 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
         M_next = M_next / jnp.where(do_rr, q, 1.0)[:, None, None]
 
         active = lane & bs.valid & survive & (beta > 1e-9)
+        stats = st["stats"]
+        if with_stats:
+            f32 = jnp.float32
+            stats = stats.at[STAT_RAYS].add(st["active"].sum(dtype=f32))
+            stats = stats.at[STAT_SHADOW].add(lane.sum(dtype=f32))
+            stats = stats.at[STAT_SURFACE].add(lane.sum(dtype=f32))
+            stats = stats.at[STAT_RR_KILL].add(
+                (lane & bs.valid & ~survive).sum(dtype=f32))
+            stats = stats.at[STAT_DEPTH_SUM].add(active.sum(dtype=f32))
         return dict(
             ro=jnp.where(active[:, None], hit.p, st["ro"]),
             rd=jnp.where(active[:, None], wo_w, st["rd"]),
@@ -197,6 +221,7 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
             prev_pdf=jnp.where(active, bs.pdf, st["prev_pdf"]),
             prev_specular=jnp.where(active, bs.specular,
                                     st["prev_specular"]),
+            stats=stats,
         )
 
     state = jax.lax.fori_loop(0, max_depth, body, state)
@@ -209,6 +234,8 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
         values = (Lw[:, None, :] * sens[..., None]).reshape(N, -1)
     else:
         values = Lw[:, 0:1] * sens
+    if with_stats:
+        return splat_pos, values, jnp.ones((N,), bool), state["stats"]
     return splat_pos, values, jnp.ones((N,), bool)
 
 

@@ -25,8 +25,12 @@ from wave_tracer_tpu.accel import edges as edges_mod
 from wave_tracer_tpu.accel import trace as trace_mod
 from wave_tracer_tpu.bsdf import device as bsdf_dev
 from wave_tracer_tpu.emitter import table as etab
-from wave_tracer_tpu.integrator.path import (_emitter_pmf, _perp_axis,
-                                             _power_heuristic,
+from wave_tracer_tpu.integrator.path import (N_STATS, STAT_DEPTH_SUM,
+                                             STAT_EDGE_HIT, STAT_FSD,
+                                             STAT_NULL, STAT_RAYS,
+                                             STAT_RR_KILL, STAT_SHADOW,
+                                             STAT_SURFACE, _emitter_pmf,
+                                             _perp_axis, _power_heuristic,
                                              _sample_emitter_by_power,
                                              compose_scatter)
 from wave_tracer_tpu.math import frame as frame_mod
@@ -46,7 +50,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
                      sensor, edge_table, max_depth: int = 8,
                      rr_depth: int = 3, rr_floor: float = 0.5,
                      eps: float = 1e-5, mis: bool = True, fsd: bool = True,
-                     K: int = 8):
+                     K: int = 8, with_stats: bool = False):
     """Wave-mode path batch. Returns (splat_pos, values, valid)."""
     geo = data.geo
     tables = data.tables
@@ -89,6 +93,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         M_prev=M0,
         prev_env_x0=jnp.zeros((N,), jnp.float32),
         prev_env_ta=jnp.zeros((N,), jnp.float32),
+        stats=jnp.zeros((N_STATS,), jnp.float32),
     )
 
     def contribution(M, Li):
@@ -328,6 +333,23 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         cont = (surface & bs.valid) | fsd_lane | null_lane
         active = lane & cont & survive & (beta > 1e-12)
 
+        stats = st["stats"]
+        if with_stats:
+            f32 = jnp.float32
+            stats = stats.at[STAT_RAYS].add(lane.sum(dtype=f32))
+            # NEE shadow + the batched FSD legs (2K+1 per lane)
+            stats = stats.at[STAT_SHADOW].add(
+                surface.sum(dtype=f32)
+                + (2 * K + 1) * lane.sum(dtype=f32) * float(bool(fsd)))
+            stats = stats.at[STAT_SURFACE].add(surface.sum(dtype=f32))
+            stats = stats.at[STAT_FSD].add(fsd_lane.sum(dtype=f32))
+            stats = stats.at[STAT_NULL].add(null_lane.sum(dtype=f32))
+            stats = stats.at[STAT_RR_KILL].add(
+                (lane & cont & ~survive).sum(dtype=f32))
+            stats = stats.at[STAT_DEPTH_SUM].add(active.sum(dtype=f32))
+            stats = stats.at[STAT_EDGE_HIT].add(
+                (lane & have_edges).sum(dtype=f32))
+
         def sel(new, old):
             br = active
             for _ in range(new.ndim - 1):
@@ -356,6 +378,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
             M_prev=sel(M_cur, st["M_prev"]),
             prev_env_x0=sel(st["env_x0"], st["prev_env_x0"]),
             prev_env_ta=sel(st["env_ta"], st["prev_env_ta"]),
+            stats=stats,
         )
 
     state = jax.lax.fori_loop(0, max_depth, body, state)
@@ -366,4 +389,6 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         values = (Lw[:, None, :] * sens[..., None]).reshape(N, -1)
     else:
         values = Lw[:, 0:1] * sens
+    if with_stats:
+        return splat_pos, values, jnp.ones((N,), bool), state["stats"]
     return splat_pos, values, jnp.ones((N,), bool)

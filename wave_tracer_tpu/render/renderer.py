@@ -88,20 +88,24 @@ class Renderer:
         npix_dev = jnp.asarray(npixels)
         t0 = time.time()
         total_lanes = 0
+        dev_stats = None
         for s0 in range(0, spp, spp_per_batch):
             s1 = min(s0 + spp_per_batch, spp)
             s0_dev = jnp.asarray(s0)
             sc_dev = jnp.asarray(s1 - s0)
             if self.fuse_batches:
                 # one dispatch sweeps every pixel batch on-device
-                film = kern(data, film, base_key, npix_dev,
-                            n_pix_batches, pix_per_batch, s0_dev,
-                            sc_dev, s1 - s0)
+                film, kst = kern(data, film, base_key, npix_dev,
+                                 n_pix_batches, pix_per_batch, s0_dev,
+                                 sc_dev, s1 - s0)
+                dev_stats = kst if dev_stats is None else dev_stats + kst
             else:
                 for bi in range(n_pix_batches):
-                    film = kern(data, film, base_key, npix_dev, 1,
-                                pix_per_batch, s0_dev, sc_dev, s1 - s0,
-                                b0=jnp.asarray(bi))
+                    film, kst = kern(data, film, base_key, npix_dev, 1,
+                                     pix_per_batch, s0_dev, sc_dev,
+                                     s1 - s0, b0=jnp.asarray(bi))
+                    dev_stats = kst if dev_stats is None \
+                        else dev_stats + kst
             total_lanes += npixels * (s1 - s0)
             if progress:
                 progress(s1, spp)
@@ -111,9 +115,14 @@ class Renderer:
         # per-pixel-sample like the reference's light image
         img = np.asarray(film_mod.develop(film, spp if bdpt else 0.0))
         mode = "bdpt" if bdpt else ("wave" if wave else "ray")
-        return img, dict(seconds=dt, paths=total_lanes,
-                         paths_per_sec=total_lanes / max(dt, 1e-9),
-                         mode=mode)
+        out = dict(seconds=dt, paths=total_lanes,
+                   paths_per_sec=total_lanes / max(dt, 1e-9), mode=mode)
+        # (bdpt does not carry device counters yet — skip the all-zero
+        # vector rather than report it as measured)
+        if dev_stats is not None and not bdpt:
+            out["device_counters"] = _record_device_stats(
+                np.asarray(dev_stats))
+        return img, out
 
     # ------------------------------------------------------------------
     def _render_forward(self, data, sensor, spp, progress):
@@ -155,6 +164,31 @@ class Renderer:
                          mode="forward-wave" if wave else "forward")
 
 
+def _record_device_stats(vec):
+    """Record the device-counter vector into the host stats registry
+    (reference stat_collector_registry.hpp:40-76 behaviour) and return it
+    as a dict."""
+    from wave_tracer_tpu.integrator.path import (
+        STAT_DEPTH_SUM, STAT_EDGE_HIT, STAT_FSD, STAT_NULL, STAT_RAYS,
+        STAT_RR_KILL, STAT_SHADOW, STAT_SURFACE)
+    from wave_tracer_tpu.util import stats as stats_mod
+    names = {
+        "rays_cast": STAT_RAYS, "shadow_rays": STAT_SHADOW,
+        "surface_interactions": STAT_SURFACE,
+        "fsd_interactions": STAT_FSD, "null_interactions": STAT_NULL,
+        "rr_terminations": STAT_RR_KILL,
+        "sum_path_depth": STAT_DEPTH_SUM,
+        "edge_sweep_hits": STAT_EDGE_HIT,
+    }
+    out = {}
+    reg = stats_mod.registry
+    for name, idx in names.items():
+        v = float(vec[idx])
+        out[name] = v
+        reg.counter(f"integrator/{name}").add(v)
+    return out
+
+
 def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False,
                        bdpt_fsd=False):
     """Jitted backward launch: sweep all pixel batches for one spp chunk
@@ -165,7 +199,8 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False,
              spp_cap, b0=None):
         W = sensor.width
 
-        def one_batch(bi, film):
+        def one_batch(bi, carry):
+            film, kstats = carry
             if b0 is not None:
                 bi = bi + b0
             p0 = bi * pix_cap
@@ -197,17 +232,23 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False,
                 film = film_mod.splat_direct(film, lt_pos, lt_val,
                                              lt_ok & live)
             elif wave:
-                pos, values, ok = trace_paths_wave(
+                pos, values, ok, dstats = trace_paths_wave(
                     data, pxy, jit_u, base_key, sid, sensor=sensor,
                     edge_table=data.edges, max_depth=max_depth, eps=eps,
-                    mis=mis)
+                    mis=mis, with_stats=True)
+                kstats = kstats + dstats
             else:
-                pos, values, ok = trace_paths(
+                pos, values, ok, dstats = trace_paths(
                     data, pxy, jit_u, base_key, sid, sensor=sensor,
-                    max_depth=max_depth, eps=eps, mis=mis)
-            return film_mod.splat(film, pos, values, ok & live)
+                    max_depth=max_depth, eps=eps, mis=mis,
+                    with_stats=True)
+                kstats = kstats + dstats
+            return film_mod.splat(film, pos, values, ok & live), kstats
 
-        return jax.lax.fori_loop(0, n_batches, one_batch, film)
+        from wave_tracer_tpu.integrator.path import N_STATS
+        return jax.lax.fori_loop(
+            0, n_batches, one_batch,
+            (film, jnp.zeros((N_STATS,), jnp.float32)))
 
     return kern
 
