@@ -27,7 +27,14 @@ from wave_tracer_tpu.ops.intersect import BIG, ray_aabb, ray_tri
 
 @struct.dataclass
 class GeoArrays:
-    """Device-side scene geometry, triangles pre-permuted into BVH order."""
+    """Device-side scene geometry, triangles pre-permuted into BVH order.
+
+    Hot-path data is PACKED into single wide rows so each BVH step /
+    attribute fetch costs ONE gather: on this TPU backend a row gather has
+    a large fixed cost (measured ~1 µs per gather op at 16k lanes,
+    independent of width up to 32 f32 columns), so 11 narrow gathers run
+    10× slower than one packed gather.
+    """
     p0: jnp.ndarray      # (T, 3)
     e1: jnp.ndarray      # (T, 3)
     e2: jnp.ndarray      # (T, 3)
@@ -47,6 +54,12 @@ class GeoArrays:
     node_max: jnp.ndarray
     node_left: jnp.ndarray
     node_count: jnp.ndarray
+    # packed hot rows
+    tri_geom: jnp.ndarray   # (T, 12): p0, e1, e2, pad3
+    tri_attr: jnp.ndarray   # (T, 32): n0 n1 n2 uv0 uv1 uv2 geo_n dpdu
+                            #          mat shape emitter (ids as f32)
+    node_pack: jnp.ndarray  # (M, 16): cnt, left, Lmin3, Lmax3, Rmin3,
+                            #          Rmax3, pad2 (children AABBs inline)
 
     @property
     def num_tris(self):
@@ -60,9 +73,49 @@ def from_soup(soup, mat_id, shape_id, emitter_id, bvh) -> GeoArrays:
     p = soup.positions[perm]
     n = soup.normals[perm]
     uv = soup.uvs[perm]
+    T = len(perm)
+    mat_p = np.asarray(mat_id)[perm].astype(np.float32)
+    shape_p = np.asarray(shape_id)[perm].astype(np.float32)
+    emit_p = np.asarray(emitter_id)[perm].astype(np.float32)
+    e1 = (p[:, 1] - p[:, 0]).astype(np.float32)
+    e2 = (p[:, 2] - p[:, 0]).astype(np.float32)
+    tri_geom = np.zeros((T, 12), np.float32)
+    tri_geom[:, 0:3] = p[:, 0]
+    tri_geom[:, 3:6] = e1
+    tri_geom[:, 6:9] = e2
+    tri_attr = np.zeros((T, 32), np.float32)
+    tri_attr[:, 0:3] = n[:, 0]
+    tri_attr[:, 3:6] = n[:, 1]
+    tri_attr[:, 6:9] = n[:, 2]
+    tri_attr[:, 9:11] = uv[:, 0]
+    tri_attr[:, 11:13] = uv[:, 1]
+    tri_attr[:, 13:15] = uv[:, 2]
+    tri_attr[:, 15:18] = soup.geo_n[perm]
+    tri_attr[:, 18:21] = soup.dpdu[perm]
+    tri_attr[:, 21] = mat_p
+    tri_attr[:, 22] = shape_p
+    tri_attr[:, 23] = emit_p
+
+    nmin = np.asarray(bvh.node_min, np.float32)
+    nmax = np.asarray(bvh.node_max, np.float32)
+    nleft = np.asarray(bvh.node_left, np.int64)
+    ncount = np.asarray(bvh.node_count, np.int64)
+    M = len(nleft)
+    node_pack = np.zeros((max(M, 1), 16), np.float32)
+    if M:
+        node_pack[:, 0] = ncount
+        node_pack[:, 1] = nleft
+        internal = ncount == 0
+        li = np.where(internal, np.clip(nleft, 0, M - 1), 0)
+        ri = np.where(internal, np.clip(nleft + 1, 0, M - 1), 0)
+        node_pack[:, 2:5] = nmin[li]
+        node_pack[:, 5:8] = nmax[li]
+        node_pack[:, 8:11] = nmin[ri]
+        node_pack[:, 11:14] = nmax[ri]
+
     return GeoArrays(
-        p0=jnp.asarray(p[:, 0]), e1=jnp.asarray(p[:, 1] - p[:, 0]),
-        e2=jnp.asarray(p[:, 2] - p[:, 0]),
+        p0=jnp.asarray(p[:, 0]), e1=jnp.asarray(e1),
+        e2=jnp.asarray(e2),
         n0=jnp.asarray(n[:, 0]), n1=jnp.asarray(n[:, 1]),
         n2=jnp.asarray(n[:, 2]),
         uv0=jnp.asarray(uv[:, 0]), uv1=jnp.asarray(uv[:, 1]),
@@ -76,6 +129,9 @@ def from_soup(soup, mat_id, shape_id, emitter_id, bvh) -> GeoArrays:
         node_max=jnp.asarray(bvh.node_max),
         node_left=jnp.asarray(bvh.node_left),
         node_count=jnp.asarray(bvh.node_count),
+        tri_geom=jnp.asarray(tri_geom),
+        tri_attr=jnp.asarray(tri_attr),
+        node_pack=jnp.asarray(node_pack),
     )
 
 
@@ -176,7 +232,12 @@ _LEAF_TILE = 4  # must cover max_leaf of the builder
 
 
 def trace_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
-    """Stack-based closest-hit traversal, lanes in lock-step."""
+    """Stack-based closest-hit traversal, lanes in lock-step.
+
+    One packed gather per step: each node row carries its children's
+    AABBs inline (node_pack), and each leaf triangle is one 12-column
+    row (tri_geom) — the gather count per step, not bytes, dominates on
+    this backend."""
     N = ro.shape[0]
     if exclude_tri is None:
         exclude_tri = jnp.full((N,), -1, jnp.int32)
@@ -196,17 +257,18 @@ def trace_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
         node = jnp.where(active, node, 0)
         sp = jnp.where(active, spc, sp)
 
-        cnt = geo.node_count[node]
+        nrow = geo.node_pack[node]                       # (N, 16)
+        cnt = nrow[:, 0].astype(jnp.int32)
+        left = nrow[:, 1].astype(jnp.int32)
         is_leaf = (cnt > 0) & active
         is_int = (cnt == 0) & active
 
         # --- internal: test children AABBs, push hit children near-first
-        left = geo.node_left[node]
         right = left + 1
-        lt, lhit = ray_aabb(ro, inv_rd, geo.node_min[left],
-                            geo.node_max[left], tmin, best_t)
-        rt, rhit = ray_aabb(ro, inv_rd, geo.node_min[right],
-                            geo.node_max[right], tmin, best_t)
+        lt, lhit = ray_aabb(ro, inv_rd, nrow[:, 2:5], nrow[:, 5:8],
+                            tmin, best_t)
+        rt, rhit = ray_aabb(ro, inv_rd, nrow[:, 8:11], nrow[:, 11:14],
+                            tmin, best_t)
         lhit &= is_int
         rhit &= is_int
         # near child popped first -> push far first
@@ -224,13 +286,13 @@ def trace_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
         sp = sp + first_hit.astype(jnp.int32)
 
         # --- leaf: test up to _LEAF_TILE triangles
-        tri0 = geo.node_left[node]
         for k in range(_LEAF_TILE):
-            ti = tri0 + k
+            ti = left + k
             ok = is_leaf & (k < cnt) & (ti != exclude_tri)
             tiv = jnp.where(ok, ti, 0)
-            t, u, v, hit = ray_tri(ro, rd, geo.p0[tiv], geo.e1[tiv],
-                                   geo.e2[tiv], tmin, best_t)
+            trow = geo.tri_geom[tiv]                      # (N, 12)
+            t, u, v, hit = ray_tri(ro, rd, trow[:, 0:3], trow[:, 3:6],
+                                   trow[:, 6:9], tmin, best_t)
             hit &= ok
             better = hit & (t < best_t)
             best_t = jnp.where(better, t, best_t)
@@ -289,16 +351,17 @@ def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
         node = jnp.where(active, stack[rows, spc], 0)
         sp = jnp.where(active, spc, sp)
 
-        cnt = geo.node_count[node]
+        nrow = geo.node_pack[node]                       # (N, 16)
+        cnt = nrow[:, 0].astype(jnp.int32)
+        left = nrow[:, 1].astype(jnp.int32)
         is_leaf = (cnt > 0) & active
         is_int = (cnt == 0) & active
 
-        left = geo.node_left[node]
         right = left + 1
-        _, lhit = ray_aabb(ro, inv_rd, geo.node_min[left],
-                           geo.node_max[left], tmin, tmax)
-        _, rhit = ray_aabb(ro, inv_rd, geo.node_min[right],
-                           geo.node_max[right], tmin, tmax)
+        _, lhit = ray_aabb(ro, inv_rd, nrow[:, 2:5], nrow[:, 5:8],
+                           tmin, tmax)
+        _, rhit = ray_aabb(ro, inv_rd, nrow[:, 8:11], nrow[:, 11:14],
+                           tmin, tmax)
         lhit &= is_int
         rhit &= is_int
         stack = stack.at[rows, sp].set(
@@ -308,14 +371,14 @@ def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
             jnp.where(lhit, left, stack[rows, sp]))
         sp = sp + lhit.astype(jnp.int32)
 
-        tri0 = geo.node_left[node]
         for k in range(_LEAF_TILE):
-            ti = tri0 + k
+            ti = left + k
             ok = is_leaf & (k < cnt) & (ti != exclude_tri) \
                 & (ti != exclude_tri2)
             tiv = jnp.where(ok, ti, 0)
-            _, _, _, hit = ray_tri(ro, rd, geo.p0[tiv], geo.e1[tiv],
-                                   geo.e2[tiv], tmin, tmax)
+            trow = geo.tri_geom[tiv]
+            _, _, _, hit = ray_tri(ro, rd, trow[:, 0:3], trow[:, 3:6],
+                                   trow[:, 6:9], tmin, tmax)
             occ = occ | (hit & ok)
         return sp, stack, occ
 
@@ -441,22 +504,23 @@ class SurfaceHit:
 def hit_attributes(geo: GeoArrays, ro, rd, t, tri, u, v) -> SurfaceHit:
     valid = tri >= 0
     ti = jnp.where(valid, tri, 0)
+    row = geo.tri_attr[ti]      # ONE packed gather (layout: from_soup)
     w = 1.0 - u - v
-    uv = (w[:, None] * geo.uv0[ti] + u[:, None] * geo.uv1[ti]
-          + v[:, None] * geo.uv2[ti])
-    ns = (w[:, None] * geo.n0[ti] + u[:, None] * geo.n1[ti]
-          + v[:, None] * geo.n2[ti])
+    uv = (w[:, None] * row[:, 9:11] + u[:, None] * row[:, 11:13]
+          + v[:, None] * row[:, 13:15])
+    ns = (w[:, None] * row[:, 0:3] + u[:, None] * row[:, 3:6]
+          + v[:, None] * row[:, 6:9])
     nlen = jnp.sqrt(jnp.maximum(jnp.sum(ns * ns, axis=-1, keepdims=True),
                                 1e-30))
     ns = ns / nlen
-    gn = geo.geo_n[ti]
+    gn = row[:, 15:18]
     front = jnp.sum(rd * gn, axis=-1) < 0.0
     tsafe = jnp.where(valid, t, 0.0)
     return SurfaceHit(
         p=ro + tsafe[:, None] * rd,
         t=tsafe, tri=tri, valid=valid, uv=uv, geo_n=gn, ns=ns,
-        dpdu=geo.dpdu[ti], front=front,
-        mat_id=jnp.where(valid, geo.mat_id[ti], -1),
-        shape_id=jnp.where(valid, geo.shape_id[ti], -1),
-        emitter_id=jnp.where(valid, geo.emitter_id[ti], -1),
+        dpdu=row[:, 18:21], front=front,
+        mat_id=jnp.where(valid, row[:, 21].astype(jnp.int32), -1),
+        shape_id=jnp.where(valid, row[:, 22].astype(jnp.int32), -1),
+        emitter_id=jnp.where(valid, row[:, 23].astype(jnp.int32), -1),
     )

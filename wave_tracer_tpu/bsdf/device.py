@@ -55,14 +55,13 @@ def _local_z():
     return jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
 
 
-def _ior_ratio(tables: Tables, eff, k):
+def _ior_ratio(tables: Tables, ior_id, ext_ior_id, k):
     """η1/η2 = ext/int at wavenumber k (reference surface_spm.hpp:57-61)."""
-    mat = tables.materials
-    eta2 = jnp.where(mat.ior_id[eff] >= 0,
-                     tables.cspectra.eval(mat.ior_id[eff], k),
+    eta2 = jnp.where(ior_id >= 0,
+                     tables.cspectra.eval(ior_id, k),
                      jnp.asarray(1.0 + 0.0j, jnp.complex64))
-    eta1 = jnp.where(mat.ext_ior_id[eff] >= 0,
-                     tables.cspectra.eval(mat.ext_ior_id[eff], k),
+    eta1 = jnp.where(ext_ior_id >= 0,
+                     tables.cspectra.eval(ext_ior_id, k),
                      jnp.asarray(1.0 + 0.0j, jnp.complex64))
     return eta1 / eta2
 
@@ -71,18 +70,18 @@ def _spec_or_one(tables: Tables, sid, k):
     return jnp.where(sid >= 0, tables.spectra.eval(sid, k), 1.0)
 
 
-def _profile_params(tables: Tables, eff, uv, k):
-    mat = tables.materials
+def _profile_params(tables: Tables, prof_type, prof_gamma,
+                    prof_rough_tex, prof_T, prof_sigmah, uv, k):
     rough = eval_texture_scalar(tables.textures, tables.spectra,
-                                mat.prof_rough_tex[eff], uv, k)
-    has_rough = mat.prof_rough_tex[eff] >= 0
-    T_direct = jnp.where(has_rough, 1.0, mat.prof_T[eff])
-    sigmah = jnp.where(has_rough, 0.0, mat.prof_sigmah[eff])
+                                prof_rough_tex, uv, k)
+    has_rough = prof_rough_tex >= 0
+    T_direct = jnp.where(has_rough, 1.0, prof_T)
+    sigmah = jnp.where(has_rough, 0.0, prof_sigmah)
     # two parameterizations resolved branchlessly: roughness-driven lanes use
     # roughness_to_T, direct lanes use (T, σh)
     T_r = profiles.roughness_to_T(rough)
     a_r = profiles.roughness_to_alpha_param(rough)
-    p = profiles.make_params(mat.prof_type[eff], rough, mat.prof_gamma[eff],
+    p = profiles.make_params(prof_type, rough, prof_gamma,
                              k, T_direct=T_direct, sigmah=sigmah)
     p.T = jnp.where(has_rough, T_r, p.T)
     p.alpha_param = jnp.where(has_rough, a_r, p.alpha_param)
@@ -122,30 +121,41 @@ def sample(tables: Tables, mat_id, wi, uv, k, u4):
     mat = tables.materials
     eff = mat.resolve(mat_id, k)
     eff = jnp.maximum(eff, 0)
-    mtype = jnp.where(mat_id >= 0, mat.mtype[eff], MT_NULL)
+    row = mat.pack[eff]          # ONE packed gather for all scalar fields
+    i32 = jnp.int32
+    mtype = jnp.where(mat_id >= 0, row[:, mat.C_MTYPE].astype(i32),
+                      MT_NULL)
+    refl_tex = row[:, mat.C_REFL_TEX].astype(i32)
+    opacity_tex = row[:, mat.C_OPACITY_TEX].astype(i32)
+    ior_id = row[:, mat.C_IOR].astype(i32)
+    ext_ior_id = row[:, mat.C_EXT_IOR].astype(i32)
+    rscale_id = row[:, mat.C_RSCALE].astype(i32)
+    tscale_id = row[:, mat.C_TSCALE].astype(i32)
+    prof_type = row[:, mat.C_PROF_TYPE].astype(i32)
+    prof_rough_tex = row[:, mat.C_PROF_ROUGH_TEX].astype(i32)
 
-    flip = mat.twosided[eff] & (wi[..., 2] < 0.0)
+    flip = (row[:, mat.C_TWOSIDED] > 0.5) & (wi[..., 2] < 0.0)
     sgn = jnp.where(flip, -1.0, 1.0)
     wi_l = jnp.concatenate([wi[..., :2], (wi[..., 2] * sgn)[..., None]],
                            axis=-1)
-    scale = mat.scale[eff]
+    scale = row[:, mat.C_SCALE]
 
     # ---- diffuse
     refl = jnp.clip(eval_texture_scalar(tables.textures, tables.spectra,
-                                        mat.refl_tex[eff], uv, k), 0.0, 1.0)
+                                        refl_tex, uv, k), 0.0, 1.0)
     wo_d = warps.cosine_hemisphere(u4[..., 2:4])
     pdf_d = warps.cosine_hemisphere_pdf(wo_d[..., 2])
     Mw_d = mueller.depolarizer(refl * scale)
     valid_d = wi_l[..., 2] > 0.0
 
     # ---- shared Fresnel
-    eta12 = _ior_ratio(tables, eff, k)
+    eta12 = _ior_ratio(tables, ior_id, ext_ior_id, k)
     n = jnp.broadcast_to(_local_z(), wi_l.shape)
     fres = fr.fresnel(eta12, wi_l, n)
     T = 0.5 * (fres["Ts"] + fres["Tp"])
     rs_c, rp_c = fr.fresnel_reflection_conductor(eta12, wi_l, n)
-    rscale = _spec_or_one(tables, mat.rscale_spec[eff], k) * scale
-    tscale = _spec_or_one(tables, mat.tscale_spec[eff], k) * scale
+    rscale = _spec_or_one(tables, rscale_id, k) * scale
+    tscale = _spec_or_one(tables, tscale_id, k) * scale
     eta_r = jnp.real(fres["eta"])
     J_bwd = eta_r ** 2     # backward-transport radiance compression
 
@@ -163,9 +173,12 @@ def sample(tables: Tables, mat_id, wi, uv, k, u4):
     valid_die = pdf_die > 1e-7
 
     # ---- surface_spm (src/bsdf/surface_spm.cpp:79-175)
-    prof = _profile_params(tables, eff, uv, k)
+    prof = _profile_params(tables, prof_type,
+                           row[:, mat.C_PROF_GAMMA], prof_rough_tex,
+                           row[:, mat.C_PROF_T],
+                           row[:, mat.C_PROF_SIGMAH], uv, k)
     alpha = profiles.alpha_specular(prof, wi_l[..., 2], wi_l[..., 2], k)
-    is_dirac = mat.prof_type[eff] == profiles.PROFILE_DIRAC
+    is_dirac = prof_type == profiles.PROFILE_DIRAC
     alpha = jnp.where(is_dirac, 1.0, alpha)
     has_trans = _has_transmission(eta12)
     is_spec = u4[..., 1] < alpha
@@ -214,9 +227,9 @@ def sample(tables: Tables, mat_id, wi, uv, k, u4):
     # ---- opacity mask (reference include/wt/bsdf/mask.hpp): with
     # probability (1−opacity) the surface is passed through (null)
     opacity = jnp.where(
-        mat.opacity_tex[eff] >= 0,
+        opacity_tex >= 0,
         jnp.clip(eval_texture_scalar(tables.textures, tables.spectra,
-                                     mat.opacity_tex[eff], uv, k),
+                                     opacity_tex, uv, k),
                  0.0, 1.0), 1.0)
     # decorrelated mask uniform (golden-ratio mix of two draws)
     u_mask = (u4[..., 0] * 0.618034 + u4[..., 3] * 0.381966) % 1.0
@@ -259,7 +272,7 @@ def sample(tables: Tables, mat_id, wi, uv, k, u4):
     # opacity-mask: with prob (1−opacity) pass through (weight 1, delta);
     # otherwise the opacity factor cancels against the branch probability
     # and the inner sample is used unchanged (pdf scaled by opacity)
-    has_mask = mat.opacity_tex[eff] >= 0
+    has_mask = opacity_tex >= 0
     passthrough = passthrough & has_mask
     wo = jnp.where(passthrough[..., None], wo_null, wo)
     Mw = jnp.where(passthrough[..., None, None], Mw_null, Mw)
@@ -285,19 +298,23 @@ def eval_f(tables: Tables, mat_id, wi, wo, uv, k):
     mat = tables.materials
     eff = mat.resolve(mat_id, k)
     eff = jnp.maximum(eff, 0)
-    mtype = jnp.where(mat_id >= 0, mat.mtype[eff], MT_NULL)
+    row = mat.pack[eff]          # ONE packed gather for all scalar fields
+    i32 = jnp.int32
+    mtype = jnp.where(mat_id >= 0, row[:, mat.C_MTYPE].astype(i32),
+                      MT_NULL)
 
-    flip = mat.twosided[eff] & (wi[..., 2] < 0.0)
+    flip = (row[:, mat.C_TWOSIDED] > 0.5) & (wi[..., 2] < 0.0)
     sgn = jnp.where(flip, -1.0, 1.0)
     wi_l = jnp.concatenate([wi[..., :2], (wi[..., 2] * sgn)[..., None]],
                            axis=-1)
     wo_l = jnp.concatenate([wo[..., :2], (wo[..., 2] * sgn)[..., None]],
                            axis=-1)
-    scale = mat.scale[eff]
+    scale = row[:, mat.C_SCALE]
 
     # diffuse
-    refl = jnp.clip(eval_texture_scalar(tables.textures, tables.spectra,
-                                        mat.refl_tex[eff], uv, k), 0.0, 1.0)
+    refl = jnp.clip(eval_texture_scalar(
+        tables.textures, tables.spectra,
+        row[:, mat.C_REFL_TEX].astype(i32), uv, k), 0.0, 1.0)
     both_up = (wi_l[..., 2] > 0) & (wo_l[..., 2] > 0)
     f_d = jnp.where(both_up, wo_l[..., 2] * INV_PI * refl * scale, 0.0)
     M_d = mueller.depolarizer(f_d)
@@ -305,21 +322,30 @@ def eval_f(tables: Tables, mat_id, wi, wo, uv, k):
                       warps.cosine_hemisphere_pdf(wo_l[..., 2]), 0.0)
 
     # surface_spm scatter lobe (surface_spm.cpp:41-77, 174-205)
-    eta12 = _ior_ratio(tables, eff, k)
+    eta12 = _ior_ratio(tables, row[:, mat.C_IOR].astype(i32),
+                       row[:, mat.C_EXT_IOR].astype(i32), k)
     eta_r_orient = jnp.where(vecz(wi_l) > 0, jnp.real(eta12),
                              1.0 / jnp.maximum(jnp.real(eta12), 1e-9))
     has_trans = _has_transmission(eta12)
     is_refl = wi_l[..., 2] * wo_l[..., 2] >= 0.0
     abs_wo, flip_ok = _flip_wo(wo_l, jnp.real(eta12))
     abs_wo = jnp.where(is_refl[..., None], wo_l, abs_wo)
-    prof = _profile_params(tables, eff, uv, k)
+    prof = _profile_params(tables,
+                           row[:, mat.C_PROF_TYPE].astype(i32),
+                           row[:, mat.C_PROF_GAMMA],
+                           row[:, mat.C_PROF_ROUGH_TEX].astype(i32),
+                           row[:, mat.C_PROF_T],
+                           row[:, mat.C_PROF_SIGMAH], uv, k)
     alpha_eval = profiles.alpha_specular(prof, wi_l[..., 2],
                                          abs_wo[..., 2], k)
     alpha_s = profiles.alpha_specular(prof, wi_l[..., 2], wi_l[..., 2], k)
-    is_dirac = mat.prof_type[eff] == profiles.PROFILE_DIRAC
+    is_dirac = row[:, mat.C_PROF_TYPE].astype(i32) \
+        == profiles.PROFILE_DIRAC
     J = jnp.where(is_refl, 1.0, eta_r_orient ** 2)
-    rscale = _spec_or_one(tables, mat.rscale_spec[eff], k) * scale
-    tscale = _spec_or_one(tables, mat.tscale_spec[eff], k) * scale
+    rscale = _spec_or_one(tables, row[:, mat.C_RSCALE].astype(i32),
+                          k) * scale
+    tscale = _spec_or_one(tables, row[:, mat.C_TSCALE].astype(i32),
+                          k) * scale
     sscale = jnp.where(is_refl, rscale, tscale)
     h = wi_l + abs_wo
     hsgn = jnp.where(wi_l[..., 2] < 0, -1.0, 1.0)
@@ -355,10 +381,11 @@ def eval_f(tables: Tables, mat_id, wi, wo, uv, k):
                     jnp.where(mtype == MT_SPM, pdf_spm, 0.0))
 
     # opacity mask scales the scatter lobes (mask.hpp: f = opacity·f_in)
+    opacity_tex = row[:, mat.C_OPACITY_TEX].astype(i32)
     opacity = jnp.where(
-        mat.opacity_tex[eff] >= 0,
+        opacity_tex >= 0,
         jnp.clip(eval_texture_scalar(tables.textures, tables.spectra,
-                                     mat.opacity_tex[eff], uv, k),
+                                     opacity_tex, uv, k),
                  0.0, 1.0), 1.0)
     M = M * opacity[..., None, None]
     pdf = pdf * opacity
@@ -376,7 +403,7 @@ def apply_normalmap(tables: Tables, mat_id, uv, k, sf):
     from wave_tracer_tpu.texture.texture import eval_texture_rgb
     mat = tables.materials
     eff = jnp.maximum(mat.resolve(mat_id, k), 0)
-    tex = mat.normalmap_tex[eff]
+    tex = mat.pack[eff, mat.C_NORMALMAP_TEX].astype(jnp.int32)
     rgb = eval_texture_rgb(tables.textures, tables.spectra, tex, uv)
     n_local = 2.0 * rgb - 1.0
     n_local = n_local / jnp.maximum(

@@ -36,6 +36,16 @@ class MaterialTable:
     comp_child: jnp.ndarray    # (M, B) i32 composite children (-1 unused)
     comp_kmin: jnp.ndarray     # (M, B)
     comp_kmax: jnp.ndarray     # (M, B)
+    pack: jnp.ndarray          # (M, 16) all scalar fields as f32 — ONE
+                               # row gather feeds the whole BSDF dispatch
+                               # (gathers have a large fixed cost on this
+                               # backend; see accel/trace.py GeoArrays)
+
+    # pack column indices
+    C_MTYPE, C_TWOSIDED, C_SCALE, C_REFL_TEX, C_OPACITY_TEX, \
+        C_NORMALMAP_TEX, C_IOR, C_EXT_IOR, C_RSCALE, C_TSCALE, \
+        C_PROF_TYPE, C_PROF_GAMMA, C_PROF_ROUGH_TEX, C_PROF_T, \
+        C_PROF_SIGMAH = range(15)
 
     @property
     def count(self):
@@ -43,14 +53,18 @@ class MaterialTable:
 
     def resolve(self, mat_id, k):
         """Resolve composite materials to the child active at wavenumber k
-        (reference include/wt/bsdf/composite.hpp band dispatch)."""
+        (reference include/wt/bsdf/composite.hpp band dispatch).
+        Row-gathers the bin tables once instead of per bin."""
         mid = jnp.maximum(mat_id, 0)
-        out = mid
-        for b in range(MAX_COMPOSITE_BINS):
-            child = self.comp_child[mid, b]
-            hit = (child >= 0) & (k >= self.comp_kmin[mid, b]) \
-                & (k < self.comp_kmax[mid, b])
-            out = jnp.where(hit & (out == mid), child, out)
+        child_row = self.comp_child[mid]                # (..., B)
+        kmin_row = self.comp_kmin[mid]
+        kmax_row = self.comp_kmax[mid]
+        hit = (child_row >= 0) & (k[..., None] >= kmin_row) \
+            & (k[..., None] < kmax_row)
+        first = jnp.argmax(hit, axis=-1)
+        child = jnp.take_along_axis(child_row, first[..., None],
+                                    axis=-1)[..., 0]
+        out = jnp.where(hit.any(axis=-1), child, mid)
         return jnp.where(mat_id < 0, mat_id, out)
 
 
@@ -126,4 +140,12 @@ def bake_materials(materials: list[model.Material], tex_ids: dict,
         else:
             raise TypeError(f"unsupported bsdf {type(b)}")
 
-    return MaterialTable(**{k: jnp.asarray(v) for k, v in cols.items()})
+    pack = np.zeros((M, 16), np.float32)
+    order = ("mtype", "twosided", "scale", "refl_tex", "opacity_tex",
+             "normalmap_tex", "ior_id", "ext_ior_id", "rscale_spec",
+             "tscale_spec", "prof_type", "prof_gamma", "prof_rough_tex",
+             "prof_T", "prof_sigmah")
+    for ci, name in enumerate(order):
+        pack[:, ci] = cols[name].astype(np.float32)
+    return MaterialTable(pack=jnp.asarray(pack),
+                         **{k: jnp.asarray(v) for k, v in cols.items()})

@@ -43,6 +43,24 @@ class EmitterTable:
     etri_idx: jnp.ndarray    # (TT,) i32 triangle index in GeoArrays
     etri_cdf: jnp.ndarray    # (TT,) inclusive CDF normalized per emitter
     scene_radius: jnp.ndarray  # () bounding radius for directional emitters
+    pack: jnp.ndarray        # (E, 20): etype pos3 dir3 cos_beam cos_cutoff
+                             # beam_angle cutoff_angle spec_id power
+                             # area_total tri_start tri_count pse_scale —
+                             # one row gather per emitter access
+
+    C_ETYPE = 0
+    C_POS = slice(1, 4)
+    C_DIR = slice(4, 7)
+    C_COS_BEAM = 7
+    C_COS_CUTOFF = 8
+    C_BEAM_ANGLE = 9
+    C_CUTOFF_ANGLE = 10
+    C_SPEC = 11
+    C_POWER = 12
+    C_AREA = 13
+    C_TRI_START = 14
+    C_TRI_COUNT = 15
+    C_PSE = 16
 
     @property
     def count(self):
@@ -106,7 +124,22 @@ def bake_emitters(emitters, spec_ids, tri_emitter_id: np.ndarray,
 
     etri_idx = np.concatenate(idx_list) if idx_list else np.zeros(1, np.int32)
     etri_cdf = np.concatenate(cdf_list) if cdf_list else np.ones(1, np.float32)
+    pack = np.zeros((E, 20), np.float32)
+    pack[:, 0] = etype
+    pack[:, 1:4] = pos
+    pack[:, 4:7] = edir
+    pack[:, 7] = cosb
+    pack[:, 8] = cosc
+    pack[:, 9] = ba
+    pack[:, 10] = ca
+    pack[:, 11] = spec
+    pack[:, 12] = power
+    pack[:, 13] = atot
+    pack[:, 14] = ts
+    pack[:, 15] = tc
+    pack[:, 16] = pse
     return EmitterTable(
+        pack=jnp.asarray(pack),
         etype=jnp.asarray(etype), pos=jnp.asarray(pos), dir=jnp.asarray(edir),
         cos_beam=jnp.asarray(cosb), cos_cutoff=jnp.asarray(cosc),
         beam_angle=jnp.asarray(ba), cutoff_angle=jnp.asarray(ca),
@@ -117,26 +150,31 @@ def bake_emitters(emitters, spec_ids, tri_emitter_id: np.ndarray,
         scene_radius=jnp.asarray(scene_radius, jnp.float32))
 
 
-def _spot_falloff(et: EmitterTable, e, local_cos):
+def _spot_falloff_row(row, local_cos):
     """Linear angular falloff (reference spot.hpp compute_falloff)."""
+    cutoff = row[..., EmitterTable.C_CUTOFF_ANGLE]
+    beam = row[..., EmitterTable.C_BEAM_ANGLE]
     theta = jnp.arccos(jnp.clip(local_cos, -1.0, 1.0))
-    w = (et.cutoff_angle[e] - theta) / jnp.maximum(
-        et.cutoff_angle[e] - et.beam_angle[e], 1e-9)
-    return jnp.clip(jnp.where(local_cos <= et.cos_cutoff[e], 0.0,
-                              jnp.where(local_cos >= et.cos_beam[e], 1.0,
-                                        w)), 0.0, 1.0)
+    w = (cutoff - theta) / jnp.maximum(cutoff - beam, 1e-9)
+    return jnp.clip(
+        jnp.where(local_cos <= row[..., EmitterTable.C_COS_CUTOFF], 0.0,
+                  jnp.where(local_cos >= row[..., EmitterTable.C_COS_BEAM],
+                            1.0, w)), 0.0, 1.0)
 
 
-def _sample_area_point(et: EmitterTable, geo, e, u3):
+def _sample_area_point(et: EmitterTable, geo, row, u3):
     """Uniform-area point on an area emitter: (y, n, pdf_area)."""
-    start = et.tri_start[e]
-    cnt = jnp.maximum(et.tri_count[e], 1)
+    start = row[..., EmitterTable.C_TRI_START].astype(jnp.int32)
+    cnt = jnp.maximum(row[..., EmitterTable.C_TRI_COUNT].astype(jnp.int32),
+                      1)
     # per-lane inverse-CDF over this emitter's triangle range: fixed-count
-    # binary search over the concatenated CDF
+    # binary search over the concatenated CDF (trip count is static from
+    # the table size — gathers are the dominant cost on this backend)
+    steps = max(1, int(et.etri_cdf.shape[0] - 1).bit_length())
     lo = jnp.zeros_like(start)
     hi = cnt - 1
     target = u3[..., 0]
-    for _ in range(18):   # supports up to 256k emissive triangles
+    for _ in range(steps):
         mid = (lo + hi) // 2
         cv = et.etri_cdf[start + mid]
         go_right = cv < target
@@ -144,10 +182,11 @@ def _sample_area_point(et: EmitterTable, geo, e, u3):
         hi = jnp.where(go_right, hi, mid)
     ti = et.etri_idx[start + lo]
     b = warps.uniform_triangle(u3[..., 1:3])
-    p0 = geo.p0[ti]
-    y = p0 + b[..., 0:1] * geo.e1[ti] + b[..., 1:2] * geo.e2[ti]
-    n = geo.geo_n[ti]
-    pdf_area = 1.0 / jnp.maximum(et.area_total[e], 1e-30)
+    trow = geo.tri_geom[ti]                       # ONE packed gather
+    y = trow[..., 0:3] + b[..., 0:1] * trow[..., 3:6] \
+        + b[..., 1:2] * trow[..., 6:9]
+    n = geo.tri_attr[ti][..., 15:18]              # geometric normal
+    pdf_area = 1.0 / jnp.maximum(row[..., EmitterTable.C_AREA], 1e-30)
     return y, n, pdf_area, ti
 
 
@@ -159,11 +198,13 @@ def sample_direct(et: EmitterTable, geo, spec_table, e, x, k, u3):
     (solid-angle density; 1 for delta lobes), delta_dir (bool),
     y (light point), ln (light normal), valid.
     """
-    spec_val = spec_table.eval(et.spec_id[e], k)
-    etype = et.etype[e]
+    row = et.pack[e]                              # ONE packed gather
+    spec_val = spec_table.eval(
+        row[..., EmitterTable.C_SPEC].astype(jnp.int32), k)
+    etype = row[..., EmitterTable.C_ETYPE].astype(jnp.int32)
 
     # area
-    y_a, ln_a, pdf_area, tri_a = _sample_area_point(et, geo, e, u3)
+    y_a, ln_a, pdf_area, tri_a = _sample_area_point(et, geo, row, u3)
     d_a = y_a - x
     dist2_a = jnp.maximum(vec.length2(d_a), 1e-20)
     dist_a = jnp.sqrt(dist2_a)
@@ -174,18 +215,19 @@ def sample_direct(et: EmitterTable, geo, spec_table, e, x, k, u3):
     Li_a = jnp.where(front, spec_val, 0.0)
 
     # point / spot (delta position): contribution I(k)/d² [× falloff]
-    y_p = et.pos[e]
+    y_p = row[..., EmitterTable.C_POS]
+    e_dir = row[..., EmitterTable.C_DIR]
     d_p = y_p - x
     dist2_p = jnp.maximum(vec.length2(d_p), 1e-20)
     dist_p = jnp.sqrt(dist2_p)
     wo_p = d_p / dist_p[..., None]
-    local_cos = -vec.dot(wo_p, et.dir[e])   # angle from spot axis
-    falloff = _spot_falloff(et, e, local_cos)
+    local_cos = -vec.dot(wo_p, e_dir)   # angle from spot axis
+    falloff = _spot_falloff_row(row, local_cos)
     Li_p = spec_val / dist2_p
     Li_s = Li_p * falloff
 
     # directional: delta direction toward −dir, occlusion to scene bound
-    wo_d = -et.dir[e]
+    wo_d = -e_dir
     Li_d = spec_val
     dist_d = jnp.broadcast_to(4.0 * et.scene_radius, dist_p.shape)
 
@@ -236,11 +278,16 @@ def sample_emission(et: EmitterTable, geo, spec_table, e, k, u4):
     (emitter.hpp sample). Returns dict with position y, normal ln, direction
     wo (propagation), weight (spectral power density carried per unit pdf),
     pdf_area, pdf_dir, valid."""
-    spec_val = spec_table.eval(et.spec_id[e], k)
-    etype = et.etype[e]
+    row = et.pack[e]                              # ONE packed gather
+    spec_val = spec_table.eval(
+        row[..., EmitterTable.C_SPEC].astype(jnp.int32), k)
+    etype = row[..., EmitterTable.C_ETYPE].astype(jnp.int32)
+    e_dir = row[..., EmitterTable.C_DIR]
+    e_pos = row[..., EmitterTable.C_POS]
 
     # area: uniform position, cosine direction
-    y_a, ln_a, pdf_area_a, _ = _sample_area_point(et, geo, e, u4[..., :3])
+    y_a, ln_a, pdf_area_a, _ = _sample_area_point(et, geo, row,
+                                                  u4[..., :3])
     from wave_tracer_tpu.math import frame as frame_mod
     fr = frame_mod.build_orthogonal_frame(ln_a)
     wo_loc = warps.cosine_hemisphere(
@@ -251,18 +298,18 @@ def sample_emission(et: EmitterTable, geo, spec_table, e, k, u4):
     # point: uniform sphere
     wo_pt = warps.uniform_sphere(u4[..., 0:2])
     # spot: uniform cone of cutoff angle
-    sa_cut = 2.0 * jnp.pi * (1.0 - et.cos_cutoff[e])
+    sa_cut = 2.0 * jnp.pi * (1.0 - row[..., EmitterTable.C_COS_CUTOFF])
     wo_sp_loc = warps.uniform_cone(sa_cut, u4[..., 0:2])
     frs = frame_mod.build_orthogonal_frame(
-        jnp.broadcast_to(et.dir[e], y_a.shape))
+        jnp.broadcast_to(e_dir, y_a.shape))
     wo_sp = frs.to_world(wo_sp_loc)
-    falloff = _spot_falloff(et, e, wo_sp_loc[..., 2])
+    falloff = _spot_falloff_row(row, wo_sp_loc[..., 2])
 
     # directional: disk at scene bound
     R = et.scene_radius
     disk = warps.concentric_disk(u4[..., 0:2]) * R
     frd = frame_mod.build_orthogonal_frame(
-        jnp.broadcast_to(et.dir[e], y_a.shape))
+        jnp.broadcast_to(e_dir, y_a.shape))
     y_dir = -2.0 * R * frd.n + disk[..., 0:1] * frd.t \
         + disk[..., 1:2] * frd.b
     pdf_area_d = 1.0 / (jnp.pi * R * R)
@@ -274,11 +321,11 @@ def sample_emission(et: EmitterTable, geo, spec_table, e, k, u4):
 
     y = jnp.where(is_area[..., None], y_a,
                   jnp.where(is_dir[..., None], y_dir,
-                            jnp.broadcast_to(et.pos[e], y_a.shape)))
+                            jnp.broadcast_to(e_pos, y_a.shape)))
     wo = jnp.where(is_area[..., None], wo_area,
                    jnp.where(is_point[..., None], wo_pt,
                              jnp.where(is_spot[..., None], wo_sp,
-                                       jnp.broadcast_to(et.dir[e],
+                                       jnp.broadcast_to(e_dir,
                                                         y_a.shape))))
     ln = jnp.where(is_area[..., None], ln_a,
                    jnp.where(is_dir[..., None],

@@ -68,27 +68,32 @@ def splat(film: Film, pos: jnp.ndarray, values: jnp.ndarray,
     ix = jnp.floor(px).astype(jnp.int32)
     iy = jnp.floor(py).astype(jnp.int32)
 
-    value = film.value
-    weight = film.weight
     vmask = mask & jnp.all(jnp.isfinite(values), axis=-1)
     vals = jnp.where(vmask[..., None], values, 0.0)
 
-    for dy in range(-r, r + 1):
-        yy = iy + dy
-        # ∫ gauss over pixel footprint, centred on sample
-        wy = _gauss_cdf(yy.astype(jnp.float32) + 0.5 - py, sigma) \
-            - _gauss_cdf(yy.astype(jnp.float32) - 0.5 - py, sigma)
-        for dx in range(-r, r + 1):
-            xx = ix + dx
-            wx = _gauss_cdf(xx.astype(jnp.float32) + 0.5 - px, sigma) \
-                - _gauss_cdf(xx.astype(jnp.float32) - 0.5 - px, sigma)
-            w = wx * wy
-            inside = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H) & vmask
-            w = jnp.where(inside, w, 0.0)
-            xc = jnp.clip(xx, 0, W - 1)
-            yc = jnp.clip(yy, 0, H - 1)
-            value = value.at[yc, xc].add(w[..., None] * vals)
-            weight = weight.at[yc, xc].add(w)
+    # the whole (2r+1)² window as ONE flattened scatter-add per target
+    # (scatters carry a large fixed cost on this backend; 50 narrow
+    # scatters ran ~25× slower than 2 wide ones)
+    offs = jnp.arange(-r, r + 1)
+    yy = iy[:, None] + offs[None, :]                      # (N, Ky)
+    xx = ix[:, None] + offs[None, :]
+    wy = _gauss_cdf(yy.astype(jnp.float32) + 0.5 - py[:, None], sigma) \
+        - _gauss_cdf(yy.astype(jnp.float32) - 0.5 - py[:, None], sigma)
+    wx = _gauss_cdf(xx.astype(jnp.float32) + 0.5 - px[:, None], sigma) \
+        - _gauss_cdf(xx.astype(jnp.float32) - 0.5 - px[:, None], sigma)
+    w = wy[:, :, None] * wx[:, None, :]                   # (N, Ky, Kx)
+    inside = (yy[:, :, None] >= 0) & (yy[:, :, None] < H) \
+        & (xx[:, None, :] >= 0) & (xx[:, None, :] < W) \
+        & vmask[:, None, None]
+    w = jnp.where(inside, w, 0.0)
+    fidx = (jnp.clip(yy[:, :, None], 0, H - 1) * W
+            + jnp.clip(xx[:, None, :], 0, W - 1)).reshape(-1)
+    wflat = w.reshape(-1)
+    value = film.value.reshape(H * W, C).at[fidx].add(
+        wflat[:, None] * jnp.repeat(vals, offs.shape[0] ** 2, axis=0)
+    ).reshape(H, W, C)
+    weight = film.weight.reshape(H * W).at[fidx].add(wflat) \
+        .reshape(H, W)
     return film.replace(value=value, weight=weight)
 
 
@@ -123,25 +128,24 @@ def splat_direct_gaussian(film: Film, pos: jnp.ndarray,
     vmask = mask & jnp.all(jnp.isfinite(values), axis=-1)
     vals = jnp.where(vmask[..., None], values, 0.0)
 
-    # accumulate window weights, then renormalize
-    ws = []
-    coords = []
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            xx = ix + dx
-            yy = iy + dy
-            d2 = (xx.astype(jnp.float32) - px) ** 2 \
-                + (yy.astype(jnp.float32) - py) ** 2
-            w = jnp.exp(-0.5 * d2 / (sig * sig))
-            inside = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H)
-            ws.append(jnp.where(inside, w, 0.0))
-            coords.append((jnp.clip(xx, 0, W - 1), jnp.clip(yy, 0, H - 1)))
-    wsum = sum(ws)
-    wsum = jnp.maximum(wsum, 1e-12)
-    direct = film.direct
-    for w, (xx, yy) in zip(ws, coords):
-        direct = direct.at[yy, xx].add(
-            (w / wsum)[..., None] * vals)
+    # whole window as ONE flattened scatter (see splat)
+    offs = jnp.arange(-radius, radius + 1)
+    yy = iy[:, None] + offs[None, :]
+    xx = ix[:, None] + offs[None, :]
+    d2 = (xx.astype(jnp.float32)[:, None, :] - px[:, None, None]) ** 2 \
+        + (yy.astype(jnp.float32)[:, :, None] - py[:, None, None]) ** 2
+    w = jnp.exp(-0.5 * d2 / (sig * sig)[:, None, None])
+    inside = (yy[:, :, None] >= 0) & (yy[:, :, None] < H) \
+        & (xx[:, None, :] >= 0) & (xx[:, None, :] < W)
+    w = jnp.where(inside, w, 0.0)
+    wsum = jnp.maximum(w.sum(axis=(1, 2)), 1e-12)
+    w = w / wsum[:, None, None]
+    fidx = (jnp.clip(yy[:, :, None], 0, H - 1) * W
+            + jnp.clip(xx[:, None, :], 0, W - 1)).reshape(-1)
+    K2 = offs.shape[0] ** 2
+    direct = film.direct.reshape(H * W, C).at[fidx].add(
+        w.reshape(-1)[:, None] * jnp.repeat(vals, K2, axis=0)
+    ).reshape(H, W, C)
     return film.replace(direct=direct)
 
 

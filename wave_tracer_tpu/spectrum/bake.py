@@ -26,46 +26,66 @@ K_RES = 192   # grid points per baked spectrum
 
 @struct.dataclass
 class SpectrumTable:
-    """Baked real spectra: row s covers [kmin[s], kmax[s]] log-spaced."""
+    """Baked real spectra: row s covers [kmin[s], kmax[s]] log-spaced.
+
+    `pairs` holds (v[i], v[i+1]) per cell and `bounds` the log range so
+    an eval costs TWO gathers (gathers carry a large fixed cost on this
+    backend; see accel/trace.py GeoArrays)."""
     vals: jnp.ndarray      # (S, K_RES) f32 density values
     log_kmin: jnp.ndarray  # (S,)
     log_kmax: jnp.ndarray  # (S,)
 
     def eval(self, sid, k):
         """Density of spectrum sid (...,) i32 at wavenumber k (...,)."""
+        # derive the packed pair/bounds views on the fly: fused once per
+        # kernel, keeps eval at TWO gathers AND differentiable w.r.t. vals
+        pairs = jnp.stack([self.vals, jnp.concatenate(
+            [self.vals[:, 1:], self.vals[:, -1:]], axis=1)], axis=-1)
+        bounds = jnp.stack([self.log_kmin, self.log_kmax], axis=-1)
         sid = jnp.maximum(sid, 0)
         lk = jnp.log(jnp.maximum(k, 1e-30))
-        lo = self.log_kmin[sid]
-        hi = self.log_kmax[sid]
+        b = bounds[sid]
+        lo = b[..., 0]
+        hi = b[..., 1]
         t = (lk - lo) / jnp.maximum(hi - lo, 1e-12) * (K_RES - 1)
         inside = (t >= 0.0) & (t <= K_RES - 1.0)
         t = jnp.clip(t, 0.0, K_RES - 1.0)
         i0 = jnp.clip(t.astype(jnp.int32), 0, K_RES - 2)
         frac = t - i0.astype(t.dtype)
-        v0 = self.vals[sid, i0]
-        v1 = self.vals[sid, i0 + 1]
-        return jnp.where(inside, v0 * (1.0 - frac) + v1 * frac, 0.0)
+        vp = pairs[sid, i0]
+        return jnp.where(inside,
+                         vp[..., 0] * (1.0 - frac) + vp[..., 1] * frac,
+                         0.0)
 
 
 @struct.dataclass
 class ComplexSpectrumTable:
-    """Baked complex IOR spectra η(k) = n + iκ."""
+    """Baked complex IOR spectra η(k) = n + iκ. `quads` packs
+    (n[i], n[i+1], κ[i], κ[i+1]) so an eval costs TWO gathers."""
     n: jnp.ndarray         # (C, K_RES)
     kappa: jnp.ndarray     # (C, K_RES)
     log_kmin: jnp.ndarray
     log_kmax: jnp.ndarray
 
     def eval(self, cid, k):
+        quads = jnp.stack([
+            self.n, jnp.concatenate([self.n[:, 1:], self.n[:, -1:]], 1),
+            self.kappa,
+            jnp.concatenate([self.kappa[:, 1:], self.kappa[:, -1:]], 1)],
+            axis=-1)
+        bounds = jnp.stack([self.log_kmin, self.log_kmax], axis=-1)
         cid = jnp.maximum(cid, 0)
         lk = jnp.log(jnp.maximum(k, 1e-30))
-        lo = self.log_kmin[cid]
-        hi = self.log_kmax[cid]
+        b = bounds[cid]
+        lo = b[..., 0]
+        hi = b[..., 1]
         t = jnp.clip((lk - lo) / jnp.maximum(hi - lo, 1e-12) * (K_RES - 1),
                      0.0, K_RES - 1.0)
         i0 = jnp.clip(t.astype(jnp.int32), 0, K_RES - 2)
         frac = (t - i0.astype(t.dtype))
-        n = self.n[cid, i0] * (1 - frac) + self.n[cid, i0 + 1] * frac
-        kap = self.kappa[cid, i0] * (1 - frac) + self.kappa[cid, i0 + 1] * frac
+        q = quads[cid, i0]
+        n = q[..., 0] * (1 - frac) + q[..., 1] * frac
+        kap = q[..., 2] * (1 - frac) + q[..., 3] * frac
         return n + 1j * kap.astype(jnp.complex64)
 
 

@@ -82,6 +82,9 @@ class TextureTable:
     atlas_slot: jnp.ndarray  # (T,) i32 (or -1)
     atlas: jnp.ndarray       # (A, HMAX, WMAX, 3)
     atlas_size: jnp.ndarray  # (A, 2) i32 (h, w)
+    pack: jnp.ndarray        # (T, 16): type spec sscale rgb3 rgb2_3
+                             # uv_xform4 scale atlas_slot — one row
+                             # gather per texture eval
 
 
 def bake_textures(textures: list[Texture],
@@ -134,7 +137,17 @@ def bake_textures(textures: list[Texture],
         else:
             raise TypeError(f"unsupported texture {type(t)}")
 
+    pack = np.zeros((T, 16), np.float32)
+    pack[:, 0] = typ
+    pack[:, 1] = spec_id
+    pack[:, 2] = sscale_id
+    pack[:, 3:6] = rgb
+    pack[:, 6:9] = rgb2
+    pack[:, 9:13] = uvx
+    pack[:, 13] = scale
+    pack[:, 14] = slots
     return TextureTable(
+        pack=jnp.asarray(pack),
         type=jnp.asarray(typ), spec_id=jnp.asarray(spec_id),
         sscale_id=jnp.asarray(sscale_id), rgb=jnp.asarray(rgb),
         rgb2=jnp.asarray(rgb2), uv_xform=jnp.asarray(uvx),
@@ -168,23 +181,26 @@ def _bilinear(table: TextureTable, slot, u, v):
             + (1 - fx) * fy * tex(y0 + 1, x0) + fx * fy * tex(y0 + 1, x0 + 1))
 
 
+def _eval_rgb_row(table: TextureTable, row, uv):
+    """RGB value from a packed texture row (one gather done by caller)."""
+    typ = row[..., 0].astype(jnp.int32)
+    u = uv[..., 0] * row[..., 9] + row[..., 11]
+    v = uv[..., 1] * row[..., 10] + row[..., 12]
+    bitmap = _bilinear(table, row[..., 14].astype(jnp.int32), u, v)
+    checker = jnp.where(
+        (((jnp.floor(u) + jnp.floor(v)) % 2.0) < 1.0)[..., None],
+        row[..., 3:6], row[..., 6:9])
+    out = jnp.where((typ == TYPE_BITMAP)[..., None], bitmap,
+                    jnp.where((typ == TYPE_CHECKERBOARD)[..., None],
+                              checker, row[..., 3:6]))
+    return out * row[..., 13:14]
+
+
 def eval_texture_rgb(table: TextureTable, spec_table: SpectrumTable,
                      tex_id, uv):
     """RGB value of texture tex_id (...,) at uv (..., 2) → (..., 3)."""
-    tid = jnp.maximum(tex_id, 0)
-    typ = table.type[tid]
-    xf = table.uv_xform[tid]
-    u = uv[..., 0] * xf[..., 0] + xf[..., 2]
-    v = uv[..., 1] * xf[..., 1] + xf[..., 3]
-
-    bitmap = _bilinear(table, table.atlas_slot[tid], u, v)
-    checker = jnp.where(
-        (((jnp.floor(u) + jnp.floor(v)) % 2.0) < 1.0)[..., None],
-        table.rgb[tid], table.rgb2[tid])
-    out = jnp.where((typ == TYPE_BITMAP)[..., None], bitmap,
-                    jnp.where((typ == TYPE_CHECKERBOARD)[..., None], checker,
-                              table.rgb[tid]))
-    return out * table.scale[tid][..., None]
+    row = table.pack[jnp.maximum(tex_id, 0)]
+    return _eval_rgb_row(table, row, uv)
 
 
 def eval_texture_scalar(table: TextureTable, spec_table: SpectrumTable,
@@ -193,15 +209,17 @@ def eval_texture_scalar(table: TextureTable, spec_table: SpectrumTable,
 
     RGB-typed texels are uplifted through the Smits basis; constant-spectrum
     textures evaluate their baked spectrum (reference texture_t::f,
-    texture.hpp:43-92)."""
-    tid = jnp.maximum(tex_id, 0)
-    typ = table.type[tid]
-    rgbv = eval_texture_rgb(table, spec_table, tex_id, uv) \
-        / jnp.maximum(table.scale[tid][..., None], 1e-30)
+    texture.hpp:43-92). ONE packed row gather serves the whole eval."""
+    row = table.pack[jnp.maximum(tex_id, 0)]
+    typ = row[..., 0].astype(jnp.int32)
+    scale = row[..., 13]
+    rgbv = _eval_rgb_row(table, row, uv) \
+        / jnp.maximum(scale[..., None], 1e-30)
     from_rgb = smits_uplift_dev(rgbv, k)
-    from_spec = spec_table.eval(table.spec_id[tid], k)
+    from_spec = spec_table.eval(row[..., 1].astype(jnp.int32), k)
     out = jnp.where(typ == TYPE_CONST_SPECTRUM, from_spec, from_rgb)
-    out = out * table.scale[tid]
-    sscale = jnp.where(table.sscale_id[tid] >= 0,
-                       spec_table.eval(table.sscale_id[tid], k), 1.0)
+    out = out * scale
+    sscale_id = row[..., 2].astype(jnp.int32)
+    sscale = jnp.where(sscale_id >= 0,
+                       spec_table.eval(sscale_id, k), 1.0)
     return out * sscale
