@@ -181,3 +181,43 @@ class TestTrisInBall:
             geo, jnp.asarray([[50.0, 0, 0]]), jnp.asarray([0.5]), 8)
         assert int(cnt[0]) == 0
         assert np.all(np.asarray(idx) == -1)
+
+
+class TestTrisNearRay:
+    def test_direct_hit_and_graze(self, sphere_geo):
+        geo, _ = sphere_geo
+        # ray through the sphere centre: triangles on the entry side show
+        # up at their hit parameter with distance 0
+        ro = jnp.asarray([[0.0, 0, -3]])
+        rd = jnp.asarray([[0.0, 0, 1]])
+        idx, z, cnt = trace_mod.tris_near_ray(
+            geo, ro, rd, jnp.asarray([0.05]), jnp.asarray([0.0]),
+            jnp.asarray([10.0]), 16)
+        assert int(cnt[0]) > 0
+        # the earliest encounter ~ the front of the unit sphere (z ≈ 2)
+        assert abs(float(z[0, 0]) - 2.0) < 0.1
+
+    def test_miss_with_envelope_capture(self, sphere_geo):
+        geo, _ = sphere_geo
+        # ray passes 1.2 units from the centre: misses, but a swept
+        # envelope of radius 0.5 at z≈3 sweeps triangles near tangency
+        ro = jnp.asarray([[1.2, 0, -3]])
+        rd = jnp.asarray([[0.0, 0, 1]])
+        idx0, z0, cnt0 = trace_mod.tris_near_ray(
+            geo, ro, rd, jnp.asarray([0.01]), jnp.asarray([0.0]),
+            jnp.asarray([10.0]), 16)
+        assert int(cnt0[0]) == 0
+        idx1, z1, cnt1 = trace_mod.tris_near_ray(
+            geo, ro, rd, jnp.asarray([0.5]), jnp.asarray([0.0]),
+            jnp.asarray([10.0]), 16)
+        assert int(cnt1[0]) > 0
+
+    def test_ordered_by_z(self, sphere_geo):
+        geo, _ = sphere_geo
+        ro = jnp.asarray([[0.0, 0, -3]])
+        rd = jnp.asarray([[0.0, 0, 1]])
+        idx, z, cnt = trace_mod.tris_near_ray(
+            geo, ro, rd, jnp.asarray([0.3]), jnp.asarray([0.05]),
+            jnp.asarray([10.0]), 16)
+        zz = np.asarray(z[0])[: int(cnt[0])]
+        assert (np.diff(zz) >= -1e-6).all()

@@ -483,6 +483,83 @@ def tris_in_ball(geo: GeoArrays, center, radius, K: int, tile: int = 512):
     return bidx, bdist, valid.sum(axis=1).astype(jnp.int32)
 
 
+def tris_near_ray(geo: GeoArrays, ro, rd, x0, tan_alpha, zmax, K: int,
+                  tile: int = 512):
+    """Triangles inside the swept cone envelope of a ray segment — the
+    cone-mode intersect returning triangle SETS (reference ads_t
+    intersect(cone), src/ads/bvh8w.cpp:233-318; the exact cone–tri test
+    happens per candidate here as ray/segment distances against the
+    growing radius r(z) = x0 + tanα·z).
+
+    Returns (idx (N, K) i32 −1-padded, z (N, K) encounter parameter,
+    count (N,)), ordered by ascending z.
+    """
+    T = geo.num_tris
+    N = ro.shape[0]
+    if T == 0:
+        return (jnp.full((N, K), -1, jnp.int32),
+                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    TP = max(tile, ((T + tile - 1) // tile) * tile)
+    pad = TP - T
+    p0 = jnp.pad(geo.p0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(geo.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(geo.e2, ((0, pad), (0, 0)))
+
+    def ray_seg_z_d(s0, sd):
+        """Closest approach between the lane rays and segment tile:
+        returns (z, dist)."""
+        ll = jnp.maximum(jnp.sum(sd * sd, axis=-1), 1e-30)[None]
+        w0 = ro[:, None, :] - s0[None]
+        b = jnp.sum(rd[:, None, :] * sd[None], axis=-1)
+        ddot = jnp.sum(rd[:, None, :] * w0, axis=-1)
+        edot = jnp.sum(sd[None] * w0, axis=-1)
+        denom = ll - b * b
+        u = jnp.clip((b * -ddot + edot)
+                     / jnp.where(denom < 1e-20, 1e-20, denom), 0.0, 1.0)
+        z = jnp.maximum(-ddot + b * u, 0.0)
+        u = jnp.clip((z * b + edot) / ll, 0.0, 1.0)
+        q = s0[None] + u[..., None] * sd[None]
+        pr = ro[:, None, :] + z[..., None] * rd[:, None, :]
+        return z, jnp.linalg.norm(pr - q, axis=-1)
+
+    def body(ci, carry):
+        bz, bidx = carry
+        s = ci * tile
+        ta = jax.lax.dynamic_slice(p0, (s, 0), (tile, 3))
+        t1 = jax.lax.dynamic_slice(e1, (s, 0), (tile, 3))
+        t2 = jax.lax.dynamic_slice(e2, (s, 0), (tile, 3))
+        # direct intersection → distance 0 at the hit parameter
+        th, _, _, hit = ray_tri(ro[:, None, :], rd[:, None, :],
+                                ta[None], t1[None], t2[None],
+                                jnp.zeros((N, 1)),
+                                jnp.broadcast_to(zmax[:, None],
+                                                 (N, tile)))
+        # else: min over the three edge segments
+        z_a, d_a = ray_seg_z_d(ta, t1)
+        z_b, d_b = ray_seg_z_d(ta, t2)
+        z_c, d_c = ray_seg_z_d(ta + t1, t2 - t1)
+        d_e = jnp.minimum(jnp.minimum(d_a, d_b), d_c)
+        z_e = jnp.where(d_a <= jnp.minimum(d_b, d_c), z_a,
+                        jnp.where(d_b <= d_c, z_b, z_c))
+        z = jnp.where(hit, th, z_e)
+        d = jnp.where(hit, 0.0, d_e)
+        radius = x0[:, None] + tan_alpha[:, None] * z
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ok = (ids < T) & (d <= radius) & (z > 1e-7) & (z < zmax[:, None])
+        zk = jnp.where(ok, z, jnp.inf)
+        cat_z = jnp.concatenate([bz, zk], axis=1)
+        cat_i = jnp.concatenate([bidx, jnp.broadcast_to(ids, zk.shape)],
+                                axis=1)
+        neg, sel = jax.lax.top_k(-cat_z, K)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((N, K), jnp.inf), jnp.full((N, K), -1, jnp.int32))
+    bz, bidx = jax.lax.fori_loop(0, TP // tile, body, init)
+    valid = jnp.isfinite(bz)
+    bidx = jnp.where(valid, bidx, -1)
+    return bidx, bz, valid.sum(axis=1).astype(jnp.int32)
+
+
 @struct.dataclass
 class SurfaceHit:
     """Interpolated surface interaction (reference
