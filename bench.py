@@ -43,8 +43,9 @@ def child():
         from test_render import make_box_scene
         scene = make_box_scene(res=256, spp=16)
     scene.integrator.max_depth = 8
-    # headline throughput uses the classical transport kernel (the wave
-    # kernel's compile currently trips the axon backend's slow path)
+    # headline throughput uses the classical transport kernel; the wave
+    # kernel also compiles+runs on axon since the gather-packing sweep
+    # (~16x slower — inside the reference's own 5-20x characterization)
     scene.integrator.type = "plt_path"
     scene.integrator.fsd = False
     built = build_scene(scene)

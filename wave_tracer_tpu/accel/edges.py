@@ -47,6 +47,17 @@ class EdgeTable:
     def count(self):
         return self.p0.shape[0]
 
+    @property
+    def pack(self):
+        """(E, 24) packed row: p0(0:3) ê(3:6) n1(6:9) n2(9:12) t1(12:15)
+        t2(15:18) α(18) len(19) pad — derived on the fly (fused once per
+        kernel) so ONE gather serves aperture construction (gathers carry
+        a large fixed cost on this backend; p1 = p0 + ê·len)."""
+        return jnp.concatenate([
+            self.p0, self.e, self.n1, self.n2, self.t1, self.t2,
+            self.alpha[:, None], self.length[:, None],
+            jnp.zeros((self.count, 4), jnp.float32)], axis=1)
+
 
 def classify_edges(positions: np.ndarray, geo_n: np.ndarray,
                    quant: float = 1e-6) -> EdgeTable:

@@ -462,15 +462,18 @@ def build_aperture_3d(edges, idx, origin, rd, fx, fy, sigma_m, r_env,
     N, K = idx.shape
     i = jnp.maximum(idx, 0)
     ok = idx >= 0
+    row = edges.pack[i]          # ONE packed gather (layout: EdgeTable)
 
     # projected-silhouette filter
-    d_n1 = jnp.sum(rd[:, None, :] * edges.n1[i], axis=-1)
-    d_n2 = jnp.sum(rd[:, None, :] * edges.n2[i], axis=-1)
+    d_n1 = jnp.sum(rd[:, None, :] * row[..., 6:9], axis=-1)
+    d_n2 = jnp.sum(rd[:, None, :] * row[..., 9:12], axis=-1)
     ok &= (d_n1 * d_n2) < 0.0
 
     # endpoints in cross-section coordinates [m]
-    w0 = edges.p0[i] - origin[:, None, :]
-    w1 = edges.p1[i] - origin[:, None, :]
+    p0 = row[..., 0:3]
+    p1 = p0 + row[..., 3:6] * row[..., 19:20]
+    w0 = p0 - origin[:, None, :]
+    w1 = p1 - origin[:, None, :]
     u1 = jnp.stack([jnp.sum(w0 * fx[:, None, :], axis=-1),
                     jnp.sum(w0 * fy[:, None, :], axis=-1)], axis=-1)
     u2 = jnp.stack([jnp.sum(w1 * fx[:, None, :], axis=-1),

@@ -64,10 +64,11 @@ def build_aperture(edges: EdgeTable, idx, wp, wi, region_radius
     """
     N, K = idx.shape
     i = jnp.maximum(idx, 0)
-    n1 = edges.n1[i]
-    n2 = edges.n2[i]
-    t1 = edges.t1[i]
-    t2 = edges.t2[i]
+    row = edges.pack[i]          # ONE packed gather (layout: EdgeTable)
+    n1 = row[..., 6:9]
+    n2 = row[..., 9:12]
+    t1 = row[..., 12:15]
+    t2 = row[..., 15:18]
     wi_e = wi[:, None, :]
 
     f1_front = jnp.sum(wi_e * n1, axis=-1) > 0.0
@@ -78,9 +79,9 @@ def build_aperture(edges: EdgeTable, idx, wp, wi, region_radius
     ok = jnp.sum(wi_e * nff, axis=-1) > 0.0
 
     # clip segment to ball(wp, region_radius)
-    p0 = edges.p0[i]
-    e_dir = edges.e[i]
-    L = edges.length[i]
+    p0 = row[..., 0:3]
+    e_dir = row[..., 3:6]
+    L = row[..., 19]
     w = wp[:, None, :] - p0
     tproj = jnp.sum(w * e_dir, axis=-1)
     d2 = jnp.sum(w * w, axis=-1) - tproj ** 2
@@ -94,7 +95,7 @@ def build_aperture(edges: EdgeTable, idx, wp, wi, region_radius
 
     ok &= idx >= 0
     return FsdAperture(v=v, half_l=half_l, nff=nff, tff=tff, nbf=nbf,
-                       alpha=edges.alpha[i], edge_idx=idx, valid=ok)
+                       alpha=row[..., 18], edge_idx=idx, valid=ok)
 
 
 def empty_aperture(N: int, K: int) -> FsdAperture:
