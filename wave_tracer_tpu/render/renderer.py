@@ -88,7 +88,10 @@ class Renderer:
         npix_dev = jnp.asarray(npixels)
         t0 = time.time()
         total_lanes = 0
-        dev_stats = None
+        # collect per-dispatch counter vectors and reduce ONCE at the end:
+        # a per-call `+` serializes against the render dispatch chain and
+        # costs ~13% throughput on this backend
+        kst_list = []
         for s0 in range(0, spp, spp_per_batch):
             s1 = min(s0 + spp_per_batch, spp)
             s0_dev = jnp.asarray(s0)
@@ -98,18 +101,19 @@ class Renderer:
                 film, kst = kern(data, film, base_key, npix_dev,
                                  n_pix_batches, pix_per_batch, s0_dev,
                                  sc_dev, s1 - s0)
-                dev_stats = kst if dev_stats is None else dev_stats + kst
+                kst_list.append(kst)
             else:
                 for bi in range(n_pix_batches):
                     film, kst = kern(data, film, base_key, npix_dev, 1,
                                      pix_per_batch, s0_dev, sc_dev,
                                      s1 - s0, b0=jnp.asarray(bi))
-                    dev_stats = kst if dev_stats is None \
-                        else dev_stats + kst
+                    kst_list.append(kst)
             total_lanes += npixels * (s1 - s0)
             if progress:
                 progress(s1, spp)
         film.value.block_until_ready()
+        dev_stats = jnp.sum(jnp.stack(kst_list), axis=0) \
+            if kst_list else None
         dt = time.time() - t0
         # bdpt light-tracing splats live in the direct image, normalized
         # per-pixel-sample like the reference's light image
