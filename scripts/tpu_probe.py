@@ -86,14 +86,44 @@ def main():
     e0, _ = data.spectral.sample_emitter(u[:, 0])
     k, _ = data.spectral.sample_k(e0, u[:, 1])
 
+    # ---- MXU intersector vs lock-step BVH (single trace, 8 reps)
+    from wave_tracer_tpu.accel import mxu_trace
+
+    @jax.jit
+    def mxu8(ro, rd):
+        def body(i, c):
+            ro, rd, acc = c
+            t, tri, uu, vv = mxu_trace.trace_mxu(
+                geo, ro, rd, jnp.full((N,), eps), jnp.full((N,), 1e30))
+            hit = trace_mod.hit_attributes(geo, ro, rd, t, tri, uu, vv)
+            ro = jnp.where(hit.valid[:, None], hit.p + eps * hit.ns, ro)
+            rd = jnp.where(hit.valid[:, None],
+                           rd - 2.0 * jnp.sum(rd * hit.ns, -1,
+                                              keepdims=True) * hit.ns, rd)
+            return ro, rd, acc + t
+        ro, rd, acc = jax.lax.fori_loop(0, DEPTH, body,
+                                        (ro, rd, jnp.zeros((N,))))
+        return acc
+    bench("mxu8", mxu8, ro0, rd0)
+
+    @jax.jit
+    def mxu_occl8(ro, rd):
+        def body(i, acc):
+            occ = mxu_trace.occluded_mxu(geo, ro, rd,
+                                         jnp.full((N,), eps),
+                                         jnp.full((N,), 10.0))
+            return acc + occ.astype(jnp.float32) + 1e-6 * i
+        return jax.lax.fori_loop(0, DEPTH, body, jnp.zeros((N,)))
+    bench("mxu_occl8", mxu_occl8, ro0, rd0)
+
     # ---- trace + attrs in fori
     @jax.jit
     def trace8(ro, rd):
         def body(i, c):
             ro, rd, acc = c
-            t, tri, uu, vv = trace_mod.trace(geo, ro, rd,
-                                             jnp.full((N,), eps),
-                                             jnp.full((N,), 1e30))
+            t, tri, uu, vv = trace_mod.trace_bvh(geo, ro, rd,
+                                                 jnp.full((N,), eps),
+                                                 jnp.full((N,), 1e30))
             hit = trace_mod.hit_attributes(geo, ro, rd, t, tri, uu, vv)
             # feed outputs back so nothing is dead-code-eliminated
             ro = jnp.where(hit.valid[:, None], hit.p + eps * hit.ns, ro)
@@ -112,9 +142,9 @@ def main():
     def trace1x8(ro, rd):
         acc = jnp.zeros((N,))
         for i in range(DEPTH):
-            t, tri, uu, vv = trace_mod.trace(geo, ro, rd,
-                                             jnp.full((N,), eps),
-                                             jnp.full((N,), 1e30))
+            t, tri, uu, vv = trace_mod.trace_bvh(geo, ro, rd,
+                                                 jnp.full((N,), eps),
+                                                 jnp.full((N,), 1e30))
             hit = trace_mod.hit_attributes(geo, ro, rd, t, tri, uu, vv)
             ro = jnp.where(hit.valid[:, None], hit.p + eps * hit.ns, ro)
             rd = jnp.where(hit.valid[:, None],
@@ -128,8 +158,9 @@ def main():
     @jax.jit
     def occl8(ro, rd):
         def body(i, acc):
-            occ = trace_mod.occluded(geo, ro, rd, jnp.full((N,), eps),
-                                     jnp.full((N,), 10.0))
+            occ = trace_mod.occluded_bvh(geo, ro, rd,
+                                         jnp.full((N,), eps),
+                                         jnp.full((N,), 10.0))
             return acc + occ.astype(jnp.float32) + 1e-6 * i
         return jax.lax.fori_loop(0, DEPTH, body, jnp.zeros((N,)))
     bench("occl8", occl8, ro0, rd0)
@@ -199,7 +230,7 @@ def main():
                                          jnp.full((N,), 1e30))
         hit = trace_mod.hit_attributes(geo, ro, rd, t, tri, uu, vv)
         sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
-        M0 = jnp.broadcast_to(jnp.eye(4, jnp.float32), (N, 4, 4)) * 1.0
+        M0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4))
         xf = _perp_axis(-rd)
         def body(i, c):
             M, acc = c

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from wave_tracer_tpu.accel import mxu_trace
 from wave_tracer_tpu.accel.bvh import MAX_DEPTH
 from wave_tracer_tpu.ops.intersect import BIG, ray_aabb, ray_tri
 
@@ -60,6 +61,8 @@ class GeoArrays:
                             #          mat shape emitter (ids as f32)
     node_pack: jnp.ndarray  # (M, 16): cnt, left, Lmin3, Lmax3, Rmin3,
                             #          Rmax3, pad2 (children AABBs inline)
+    tri_mxu: jnp.ndarray    # (16, ntiles*4*BT) MXU intersector features
+    mxu_center: jnp.ndarray  # (3,) translation applied to the features
 
     @property
     def num_tris(self):
@@ -95,6 +98,9 @@ def from_soup(soup, mat_id, shape_id, emitter_id, bvh) -> GeoArrays:
     tri_attr[:, 21] = mat_p
     tri_attr[:, 22] = shape_p
     tri_attr[:, 23] = emit_p
+
+    mxu_center = (p.reshape(-1, 3).mean(axis=0).astype(np.float32)
+                  if T else np.zeros(3, np.float32))
 
     nmin = np.asarray(bvh.node_min, np.float32)
     nmax = np.asarray(bvh.node_max, np.float32)
@@ -132,6 +138,9 @@ def from_soup(soup, mat_id, shape_id, emitter_id, bvh) -> GeoArrays:
         tri_geom=jnp.asarray(tri_geom),
         tri_attr=jnp.asarray(tri_attr),
         node_pack=jnp.asarray(node_pack),
+        tri_mxu=jnp.asarray(mxu_trace.build_tri_features(
+            p[:, 0], e1, e2, mxu_center)),
+        mxu_center=jnp.asarray(mxu_center, jnp.float32),
     )
 
 
@@ -320,9 +329,33 @@ def trace_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
 # overtakes the dense tiled test beyond a few thousand triangles
 BRUTE_THRESHOLD = 2048
 
+# the MXU all-pairs intersector (accel/mxu_trace.py) beats both VPU brute
+# and lock-step BVH on TPU up to ~10^5 triangles (O(N*T) but at matmul
+# constants); beyond that the tree wins
+MXU_MAX_TRIS = 1 << 17
+
+_backend_cache = {}
+
+
+def _tpu_like() -> bool:
+    """True when the default backend runs Pallas TPU kernels."""
+    import os
+    override = os.environ.get("WT_TRACE_BACKEND", "auto")
+    if override == "mxu":
+        return True
+    if override in ("bvh", "brute", "cpu"):
+        return False
+    if "tpu" not in _backend_cache:
+        plat = jax.devices()[0].platform.lower()
+        _backend_cache["tpu"] = plat not in ("cpu", "metal", "rocm")
+    return _backend_cache["tpu"]
+
 
 def trace(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
-    if geo.num_tris <= BRUTE_THRESHOLD:
+    T = geo.num_tris
+    if T and T <= MXU_MAX_TRIS and _tpu_like():
+        return mxu_trace.trace_mxu(geo, ro, rd, tmin, tmax, exclude_tri)
+    if T <= BRUTE_THRESHOLD:
         return trace_brute(geo, ro, rd, tmin, tmax, exclude_tri)
     return trace_bvh(geo, ro, rd, tmin, tmax, exclude_tri)
 
@@ -391,7 +424,11 @@ def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
 
 def occluded(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
              exclude_tri2=None):
-    if geo.num_tris <= BRUTE_THRESHOLD:
+    T = geo.num_tris
+    if T and T <= MXU_MAX_TRIS and _tpu_like():
+        return mxu_trace.occluded_mxu(geo, ro, rd, tmin, tmax,
+                                      exclude_tri, exclude_tri2)
+    if T <= BRUTE_THRESHOLD:
         return occluded_brute(geo, ro, rd, tmin, tmax, exclude_tri,
                               exclude_tri2)
     return occluded_bvh(geo, ro, rd, tmin, tmax, exclude_tri,
