@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-BIG = jnp.float32(3.4e38)
+BIG = float(np.float32(3.4e38))
 
 BN = 256   # rays per tile
 BT = 512   # triangles per tile (lane dim of each channel block)

@@ -1,16 +1,36 @@
-"""Deterministic counter-based RNG for wavefront rendering.
+"""Deterministic counter-based sampling for wavefront rendering.
 
-The reference uses thread-local MT19937-64 (reference
-include/wt/sampler/uniform.hpp:27) and a Sobol GF(3) LDS. On TPU, statefully
-mutating generators don't fit the functional model; instead every random draw
-is keyed by (base seed, pixel, sample, depth, use) via threefry fold_in —
-deterministic per sample, reproducible across shardings and resumable.
+The reference's default scene sampler is the quad-optimized Sobol LDS
+(reference include/wt/sampler/sobolld.hpp:28-80) with thread-local
+MT19937-64 as the uniform fallback (include/wt/sampler/uniform.hpp:27).
+On TPU, statefully mutating generators don't fit the functional model;
+instead every draw is a pure function of (base seed, pixel, sample,
+depth, use):
+
+* default ("sobol"): padded Owen-scrambled base-2 Sobol — each logical
+  (u1, u2) pair comes from dimensions (0, 1) of the sequence at
+  index=sample_id, decorrelated per (pixel, depth, use) by Laine-Karras
+  hash-based Owen scrambling (sampling/sobol.py). Every 2D projection the
+  integrator consumes (pixel jitter, BSDF direction, NEE, spectrum) is a
+  stratified (0,1)-sequence — the same variance-reduction role as the
+  reference's sobolld, with zero data tables.
+* "uniform" (WT_SAMPLER=uniform): threefry fold_in chains — the plain
+  counter-based fallback.
+
+Both are deterministic per (pixel, sample), reproducible across shardings
+and resumable.
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+from wave_tracer_tpu.sampling import sobol
+
+_SAMPLER = os.environ.get("WT_SAMPLER", "sobol")
 
 # Dimension salts: one namespace per consumer so streams never collide.
 D_PIXEL_JITTER = 0
@@ -29,18 +49,27 @@ D_PHASE = 12
 
 
 def sample_key(base_key, pixel_id, sample_id):
-    """Key for one (pixel, sample) path. Works on batched int32 arrays."""
+    """Sampling stream for one (pixel, sample) path — a dict pytree
+    carrying both the threefry chain and the LDS coordinates."""
     k = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(base_key, pixel_id)
-    return jax.vmap(jax.random.fold_in)(k, sample_id)
+    k = jax.vmap(jax.random.fold_in)(k, sample_id)
+    raw = jax.random.key_data(base_key).reshape(-1)
+    strm = sobol._hash(pixel_id.astype(jnp.uint32)
+                       ^ raw[-1].astype(jnp.uint32))
+    return {"key": k, "idx": sample_id.astype(jnp.uint32), "strm": strm,
+            "d": jnp.uint32(0)}
 
 
-def depth_key(path_key, depth):
-    """Sub-key for one bounce; depth is a traced scalar."""
-    return jax.vmap(jax.random.fold_in, in_axes=(0, None))(path_key, depth)
+def depth_key(stream, depth):
+    """Sub-stream for one bounce; depth is a traced scalar."""
+    k = jax.vmap(jax.random.fold_in, in_axes=(0, None))(stream["key"],
+                                                        depth)
+    d = jnp.asarray(depth).astype(jnp.uint32)
+    return {"key": k, "idx": stream["idx"], "strm": stream["strm"],
+            "d": d}
 
 
-def uniform(keys, salt: int, n: int | None = None):
-    """U[0,1) draws: one per key, or (N, n) when n given."""
+def _threefry_uniform(keys, salt: int, n: int | None):
     def draw(k):
         kk = jax.random.fold_in(k, salt)
         if n is None:
@@ -49,11 +78,37 @@ def uniform(keys, salt: int, n: int | None = None):
     return jax.vmap(draw)(keys)
 
 
-def uniform2(keys, salt: int):
-    return uniform(keys, salt, 2)
+def uniform(stream, salt: int, n: int | None = None):
+    """U[0,1) draws: one per lane, or (N, n) when n given.
+
+    Sobol mode: component pairs (2i, 2i+1) are dims (0, 1) of the
+    Owen-scrambled sequence at index=sample_id, scramble stream
+    hash(pixel, depth, salt, i) — every consumed 2D projection is a
+    stratified (0,1)-sequence over the pixel's samples.
+    """
+    if not isinstance(stream, dict):            # legacy raw-keys call
+        return _threefry_uniform(stream, salt, n)
+    if _SAMPLER != "sobol":
+        return _threefry_uniform(stream["key"], salt, n)
+    nn = 1 if n is None else n
+    seed0 = stream["strm"] ^ (stream["d"] * jnp.uint32(0x9E3779B9)
+                              + jnp.uint32(salt) * jnp.uint32(0x85EBCA6B))
+    cols = []
+    for i in range(nn):
+        seed = seed0 + jnp.uint32(i // 2) * jnp.uint32(0xC2B2AE35)
+        cols.append(sobol.sample(stream["idx"], i % 2, seed))
+    if n is None:
+        return cols[0]
+    return jnp.stack(cols, axis=-1)
 
 
-def normal(keys, salt: int, n: int | None = None):
+def uniform2(stream, salt: int):
+    return uniform(stream, salt, 2)
+
+
+def normal(stream, salt: int, n: int | None = None):
+    keys = stream["key"] if isinstance(stream, dict) else stream
+
     def draw(k):
         kk = jax.random.fold_in(k, salt)
         if n is None:

@@ -60,7 +60,15 @@ def sobol_raw(index, dim):
     """Unscrambled Sobol sample bits: index (...,) i32/u32, dim static or
     (...,) i32 → uint32."""
     idx = index.astype(jnp.uint32)
+    if isinstance(dim, int) and dim == 0:
+        return _reverse_bits(idx)        # van der Corput = bit reversal
     out = jnp.zeros_like(idx)
+    if isinstance(dim, int):
+        Vn = _direction_matrices()[dim]  # fold the constants at trace time
+        for b in range(_BITS):
+            bit = (idx >> np.uint32(b)) & np.uint32(1)
+            out = out ^ (bit * np.uint32(Vn[b]))
+        return out
     for b in range(_BITS):
         bit = (idx >> np.uint32(b)) & np.uint32(1)
         out = out ^ (bit * _V[dim, b])
