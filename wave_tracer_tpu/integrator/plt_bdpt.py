@@ -47,6 +47,7 @@ from wave_tracer_tpu.math import gaussian2d as g2d
 from wave_tracer_tpu.math import vec
 from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.wave import beam as beam_geo
+from wave_tracer_tpu.wave import envelope as env_mod
 from wave_tracer_tpu.wave import fraunhofer as fr
 
 BIG = 1e30
@@ -155,8 +156,11 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         active=jnp.ones((N,), bool),
         exclude=jnp.full((N,), -1, jnp.int32),
         delta=jnp.zeros((N,), bool),
-        env_x0=jnp.zeros((N,), jnp.float32),
-        env_ta=jnp.asarray(ta0) * jnp.ones((N,), jnp.float32),
+        # full elliptic envelope (reference beam.hpp elliptic cone)
+        env=env_mod.EnvState(
+            x=_perp_axis(rd), x0=jnp.zeros((N,), jnp.float32),
+            ta=jnp.asarray(ta0) * jnp.ones((N,), jnp.float32),
+            e=jnp.ones((N,), jnp.float32)),
         cur=jnp.zeros((N,), jnp.int32),
         # storage
         p=jnp.zeros((N, V, 3)), ns=jnp.zeros((N, V, 3)),
@@ -183,22 +187,22 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         hit = trace_mod.hit_attributes(geo, st["ro"], st["rd"], t, tri, u,
                                        v)
 
-        # ---- edge sweep inside the beam envelope
+        env = st["env"]
+        # ---- edge sweep inside the beam envelope (major-axis radius)
         if use_fsd:
-            zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"],
+            zmax = jnp.where(hit.valid, hit.t * 1.02 + env.x0,
                              8.0 * et.scene_radius)
             if int(edge_table.count) > 2048 and edge_clusters is not None:
                 eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
                     edge_table, edge_clusters, st["ro"], st["rd"],
-                    st["env_x0"], st["env_ta"], zmax, K)
+                    env.x0, env.ta, zmax, K)
             else:
                 eidx, ez, ecnt = edges_mod.edges_near_ray(
-                    edge_table, st["ro"], st["rd"], st["env_x0"],
-                    st["env_ta"], zmax, K)
+                    edge_table, st["ro"], st["rd"], env.x0,
+                    env.ta, zmax, K)
             have_edges = ecnt > 0
             z_first = jnp.where(have_edges, jnp.min(ez, axis=1), BIG)
-            fp_hit = st["env_x0"] + st["env_ta"] \
-                * jnp.where(hit.valid, hit.t, 0.0)
+            fp_hit = env.major(jnp.where(hit.valid, hit.t, 0.0))
             delta_hit = jnp.maximum(Z_SCALE * fp_hit, 4.0 * eps)
             midflight = have_edges & (z_first < jnp.where(
                 hit.valid, hit.t - delta_hit, BIG))
@@ -221,9 +225,11 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         # ---- Fraunhofer FSD interaction at the mid-flight region
         if use_fsd:
             z_int = z_first
-            fp_int = st["env_x0"] + st["env_ta"] * z_int
+            fp_int = env.major(z_int)
             wp = st["ro"] + z_int[:, None] * st["rd"]
-            sigma = jnp.maximum(fp_int, 1e-9) / beam_geo.ENVELOPE
+            # wavefront sigma from the isotropic-equivalent radius
+            sigma = jnp.maximum(env.area_radius(z_int), 1e-9) \
+                / beam_geo.ENVELOPE
             fx = _perp_axis(st["rd"])
             fy = jnp.cross(st["rd"], fx)
             ap, scale = fr.build_aperture_3d(
@@ -231,8 +237,8 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
                 jnp.maximum(fp_int, 1e-9), k, subdiv=subdiv)
             dz = jnp.maximum(Z_SCALE * fp_int, 4.0 * eps)
             blocked = _blocked_flux(geo, st["ro"], st["rd"], fx, fy,
-                                    z_int, dz, st["env_x0"],
-                                    st["env_ta"], sigma)
+                                    z_int, dz, env.x0,
+                                    env.ta, sigma)
             recp_I = 1.0 / jnp.maximum(1.0 - blocked, 0.05)
             uR = rng.uniform(dkeys, rng.D_FSD, 4 * M_RIS + 1)
             xi, asf_v, w_ris, vs = fr.sample_xi_sir(
@@ -320,14 +326,10 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         st["pdf_rev"] = _emit_at(st["pdf_rev"], prev_c, pdf_rev_prev,
                                  store & (st["cur"] > 0))
 
-        # envelope updates
-        cosg = jnp.maximum(jnp.abs(vec.dot(st["rd"], hit.geo_n)), 0.05)
-        fp_hit_s = st["env_x0"] + st["env_ta"] * hit.t
-        x0_surf = fp_hit_s / cosg
-        ta_mub = beam_geo.minimum_uncertainty_tan_alpha(
-            jnp.maximum(x0_surf, 1e-9) ** 2, k)
-        ta_surf = jnp.where(bs.specular, st["env_ta"],
-                            jnp.minimum(ta_mub, 0.3))
+        # envelope updates: new elliptic cone through the projected
+        # surface-footprint ellipse (reference beam.hpp:379-397)
+        env_surf, _sid = env_mod.surface_scatter(
+            env, st["rd"], hit.t, hit.geo_n, wo_w, bs.specular, k)
         ta_fsd = beam_geo.minimum_uncertainty_tan_alpha(
             jnp.maximum(fp_int, 1e-9) ** 2, k)
 
@@ -386,14 +388,15 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         st["delta"] = jnp.where(active,
                                 jnp.where(surface, bs.specular, False),
                                 st["delta"])
-        st["env_x0"] = jnp.where(
-            active, jnp.where(surface, x0_surf,
-                              jnp.where(fsd_lane, 1e-6, fp_int)),
-            st["env_x0"])
-        st["env_ta"] = jnp.where(
-            active, jnp.where(surface, ta_surf,
-                              jnp.where(fsd_lane, ta_fsd,
-                                        st["env_ta"])), st["env_ta"])
+        env_fsd = env_mod.EnvState(
+            x=_perp_axis(rd_new), x0=jnp.full((N,), 1e-6),
+            ta=jnp.minimum(ta_fsd, 0.3), e=jnp.ones((N,)))
+        env_null = env_mod.EnvState(x=env.x, x0=fp_int, ta=env.ta,
+                                    e=env.e)
+        env_new = env_mod.select(
+            surface, env_surf, env_mod.select(fsd_lane, env_fsd,
+                                              env_null))
+        st["env"] = env_mod.select(active, env_new, st["env"])
         st["cur"] = st["cur"] + store.astype(jnp.int32)
         st["active"] = active
         return st

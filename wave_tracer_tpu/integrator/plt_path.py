@@ -38,6 +38,7 @@ from wave_tracer_tpu.math import vec
 from wave_tracer_tpu.polarization import stokes
 from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.wave import beam as beam_geo
+from wave_tracer_tpu.wave import envelope as env_mod
 from wave_tracer_tpu.wave import fsd as fsd_mod
 
 BIG = 1e30
@@ -82,17 +83,15 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         exclude=jnp.full((N,), -1, jnp.int32),
         prev_pdf=jnp.zeros((N,), jnp.float32),
         prev_specular=jnp.ones((N,), bool),
-        # beam envelope (isotropic): radius(z) = x0 + tanα·z
-        env_x0=jnp.zeros((N,), jnp.float32),
-        env_ta=jnp.full((N,), 0.5 * pixel_tan_alpha, jnp.float32),
+        # full elliptic beam envelope (reference beam.hpp elliptic cone);
+        # the edge/tri set sweeps use the conservative major-axis radius
+        env=env_mod.initial(rd, 0.0, 0.5 * pixel_tan_alpha),
         # deferred FSD carry
         fsd_ap=fsd_mod.empty_aperture(N, K),
         fsd_valid=jnp.zeros((N,), bool),
         sampled_fsd=jnp.zeros((N,), bool),
         prev_vert=ro,
         M_prev=M0,
-        prev_env_x0=jnp.zeros((N,), jnp.float32),
-        prev_env_ta=jnp.zeros((N,), jnp.float32),
         stats=jnp.zeros((N_STATS,), jnp.float32),
     )
 
@@ -119,18 +118,19 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         lane = st["active"]
         hit_ok = lane & hit.valid
 
-        # ---- edge sweep inside the beam envelope
-        zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"],
+        env = st["env"]
+        # ---- edge sweep inside the beam envelope (major-axis radius)
+        zmax = jnp.where(hit.valid, hit.t * 1.02 + env.x0,
                          8.0 * et.scene_radius)
         if fsd and edge_table.count > 0:
             if edge_table.count > 2048:
                 eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
                     edge_table, data.edge_clusters, st["ro"], st["rd"],
-                    st["env_x0"], st["env_ta"], zmax, K)
+                    env.x0, env.ta, zmax, K)
             else:
                 eidx, ez, ecnt = edges_mod.edges_near_ray(
-                    edge_table, st["ro"], st["rd"], st["env_x0"],
-                    st["env_ta"], zmax, K)
+                    edge_table, st["ro"], st["rd"], env.x0,
+                    env.ta, zmax, K)
         else:
             eidx = jnp.full((N, K), -1, jnp.int32)
             ez = jnp.full((N, K), jnp.inf)
@@ -139,8 +139,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         have_edges = ecnt > 0
         z_first = jnp.where(have_edges, jnp.min(ez, axis=1), BIG)
         # footprint region half-depth at the relevant distance
-        fp_hit = st["env_x0"] + st["env_ta"] * jnp.where(hit.valid, hit.t,
-                                                         0.0)
+        fp_hit = env.major(jnp.where(hit.valid, hit.t, 0.0))
         delta_hit = jnp.maximum(Z_SCALE * fp_hit, 4.0 * eps)
         # does the earliest edge cluster precede the surface hit?
         midflight = have_edges & (z_first < jnp.where(hit.valid,
@@ -151,7 +150,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         z_int = jnp.where(surface, hit.t, z_first)
         has_interaction = lane & (surface | midflight)
         wp = st["ro"] + z_int[:, None] * st["rd"]
-        fp_int = st["env_x0"] + st["env_ta"] * z_int
+        fp_int = env.major(z_int)
 
         # ---- deferred FSD evaluation (prev segment modulation)
         if fsd:
@@ -260,15 +259,11 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         wo_surface = sf.to_world(bs.wo)
         M_surf, xf_surf = compose_scatter(M_cur, st["xf"], -st["rd"],
                                           bs.Mw, -wo_surface)
-        # new envelope through the surface footprint (isotropic approx of
-        # cone_through_ellipse: footprint radius stretched by 1/cos)
-        cosg = jnp.maximum(jnp.abs(vec.dot(st["rd"], hit.geo_n)), 0.05)
-        x0_surf = fp_int / cosg
-        # scattered lobes restart with a MUB opening; speculars keep α
-        ta_mub = beam_geo.minimum_uncertainty_tan_alpha(
-            jnp.maximum(x0_surf, 1e-9) ** 2, k)
-        ta_surf = jnp.where(bs.specular, st["env_ta"],
-                            jnp.minimum(ta_mub, 0.3))
+        # new elliptic envelope through the projected surface-footprint
+        # ellipse (cone_through_ellipse; grazing incidence stretches the
+        # footprint anisotropically — reference beam.hpp:379-397)
+        env_surf, _sid = env_mod.surface_scatter(
+            env, st["rd"], z_int, hit.geo_n, wo_surface, bs.specular, k)
 
         # ---- FSD interaction (midflight lanes)
         if fsd:
@@ -306,14 +301,17 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         xf_new = jnp.where(surface[:, None], xf_surf,
                            _perp_axis(-rd_new))
         exclude_new = jnp.where(surface, hit.tri, st["exclude"])
-        x0_new = jnp.where(surface, x0_surf,
-                           jnp.where(fsd_lane, 1e-6, fp_int))
-        ta_new = jnp.where(surface, ta_surf,
-                           jnp.where(fsd_lane,
-                                     beam_geo.minimum_uncertainty_tan_alpha(
-                                         jnp.maximum(fp_int, 1e-9) ** 2,
-                                         k),
-                                     st["env_ta"]))
+        # FSD lanes restart as a near-point MUB source at the aperture;
+        # null lanes carry the envelope forward re-anchored at wp
+        env_fsd = env_mod.EnvState(
+            x=_perp_axis(rd_new), x0=jnp.full((N,), 1e-6),
+            ta=jnp.minimum(beam_geo.minimum_uncertainty_tan_alpha(
+                jnp.maximum(fp_int, 1e-9) ** 2, k), 0.3),
+            e=jnp.ones((N,)))
+        env_null = env_mod.EnvState(x=env.x, x0=fp_int, ta=env.ta,
+                                    e=env.e)
+        env_new = env_mod.select(
+            surface, env_surf, env_mod.select(fsd_lane, env_fsd, env_null))
         pdf_new = jnp.where(surface, bs.pdf, 1.0)
         spec_new = jnp.where(surface, bs.specular, True)
 
@@ -363,8 +361,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
             exclude=sel(exclude_new, st["exclude"]),
             prev_pdf=sel(pdf_new, st["prev_pdf"]),
             prev_specular=sel(spec_new, st["prev_specular"]),
-            env_x0=sel(x0_new, st["env_x0"]),
-            env_ta=sel(ta_new, st["env_ta"]),
+            env=env_mod.select(active, env_new, st["env"]),
             fsd_ap=jax.tree.map(
                 lambda n, o: jnp.where(
                     active.reshape(active.shape + (1,) * (n.ndim - 1)),
@@ -376,8 +373,6 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
             # the beam arriving at the aperture — reference
             # plt_path_detail.hpp:72 prev_vert_beam saved pre-transform)
             M_prev=sel(M_cur, st["M_prev"]),
-            prev_env_x0=sel(st["env_x0"], st["prev_env_x0"]),
-            prev_env_ta=sel(st["env_ta"], st["prev_env_ta"]),
             stats=stats,
         )
 

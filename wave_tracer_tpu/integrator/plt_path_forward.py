@@ -28,6 +28,7 @@ from wave_tracer_tpu.math import frame as frame_mod
 from wave_tracer_tpu.math import vec
 from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.wave import beam as beam_geo
+from wave_tracer_tpu.wave import envelope as env_mod
 from wave_tracer_tpu.wave import fraunhofer as fr
 from wave_tracer_tpu.wave import fsd as fsd_mod
 
@@ -97,7 +98,9 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         hit_plane=jnp.zeros((N,), bool),
         active=em["valid"],
         exclude=jnp.full((N,), -1, jnp.int32),
-        env_x0=x0_0, env_ta=ta_mub,
+        # full elliptic envelope (reference beam.hpp); sourced isotropic
+        env=env_mod.EnvState(x=_perp_axis(em["wo"]), x0=x0_0, ta=ta_mub,
+                             e=jnp.ones((N,), jnp.float32)),
         fsd_ap=fsd_mod.empty_aperture(N, K),
         fsd_valid=jnp.zeros((N,), bool),
         sampled_fsd=jnp.zeros((N,), bool),
@@ -153,26 +156,26 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         lane = st["active"]
         seg_end = jnp.where(hit.valid, hit.t, BIG)
 
-        # ---- edge sweep
-        zmax = jnp.where(hit.valid, hit.t * 1.02 + st["env_x0"],
+        env = st["env"]
+        # ---- edge sweep (conservative major-axis radius)
+        zmax = jnp.where(hit.valid, hit.t * 1.02 + env.x0,
                          8.0 * data.emitters.scene_radius)
         if fsd and edge_table.count > 0:
             if edge_table.count > 2048:
                 eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
                     edge_table, data.edge_clusters, st["ro"], st["rd"],
-                    st["env_x0"], st["env_ta"], zmax, K)
+                    env.x0, env.ta, zmax, K)
             else:
                 eidx, ez, ecnt = edges_mod.edges_near_ray(
-                    edge_table, st["ro"], st["rd"], st["env_x0"],
-                    st["env_ta"], zmax, K)
+                    edge_table, st["ro"], st["rd"], env.x0,
+                    env.ta, zmax, K)
         else:
             eidx = jnp.full((N, K), -1, jnp.int32)
             ez = jnp.full((N, K), jnp.inf)
             ecnt = jnp.zeros((N,), jnp.int32)
         have_edges = ecnt > 0
         z_first = jnp.where(have_edges, jnp.min(ez, axis=1), BIG)
-        fp_hit = st["env_x0"] + st["env_ta"] * jnp.where(hit.valid, hit.t,
-                                                         0.0)
+        fp_hit = env.major(jnp.where(hit.valid, hit.t, 0.0))
         delta_hit = jnp.maximum(Z_SCALE * fp_hit, 4.0 * eps)
         hit_ok = lane & hit.valid
         midflight = have_edges & (z_first < jnp.where(
@@ -181,7 +184,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         z_int = jnp.where(surface, hit.t, z_first)
         has_interaction = lane & (surface | midflight)
         wp = st["ro"] + z_int[:, None] * st["rd"]
-        fp_int = st["env_x0"] + st["env_ta"] * z_int
+        fp_int = env.major(z_int)
 
         # ---- sensing: does this segment cross the virtual plane?
         tpl, pxy, inside, cos_in = sensor.intersect(st["ro"], st["rd"])
@@ -196,7 +199,8 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         # expressed in sensor elements (reference Si Gaussian integration)
         newly = crosses & ~st["hit_plane"]
         elem_m = sensor.extent[0] / sensor.width
-        fp_pl = st["env_x0"] + st["env_ta"] * tpl
+        # anisotropy-aware: isotropic-equivalent radius sqrt(major*minor)
+        fp_pl = env.area_radius(tpl)
         sig_el = (fp_pl / 3.0) / elem_m
         acc = jnp.where(newly, contrib, st["acc"])
         pos = jnp.where(newly[:, None], pxy, st["pos"])
@@ -228,12 +232,9 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         bs = bsdf_dev.sample(tables, hit.mat_id, wi_l, hit.uv, k, u_b)
         wo_surface = sf.to_world(bs.wo)
         w_surf = w_cur * jnp.abs(bs.Mw[:, 0, 0])
-        cosg = jnp.maximum(jnp.abs(vec.dot(st["rd"], hit.geo_n)), 0.05)
-        x0_surf = fp_int / cosg
-        ta_mub2 = beam_geo.minimum_uncertainty_tan_alpha(
-            jnp.maximum(x0_surf, 1e-9) ** 2, k)
-        ta_surf = jnp.where(bs.specular, st["env_ta"],
-                            jnp.minimum(ta_mub2, 0.3))
+        # new elliptic envelope through the projected footprint ellipse
+        env_surf, _sid = env_mod.surface_scatter(
+            env, st["rd"], z_int, hit.geo_n, wo_surface, bs.specular, k)
 
         # ---- FSD interaction
         if fsd and utd:
@@ -291,14 +292,16 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         w_new = jnp.where(surface, w_surf,
                           w_cur * jnp.where(fsd_lane, w_fsd_scale, 1.0))
         exclude_new = jnp.where(surface, hit.tri, st["exclude"])
-        x0_new = jnp.where(surface, x0_surf,
-                           jnp.where(fsd_lane, 1e-6, fp_int))
-        ta_new = jnp.where(surface, ta_surf,
-                           jnp.where(fsd_lane,
-                                     beam_geo.minimum_uncertainty_tan_alpha(
-                                         jnp.maximum(fp_int, 1e-9) ** 2,
-                                         k),
-                                     st["env_ta"]))
+        env_fsd = env_mod.EnvState(
+            x=_perp_axis(rd_new), x0=jnp.full((N,), 1e-6),
+            ta=jnp.minimum(beam_geo.minimum_uncertainty_tan_alpha(
+                jnp.maximum(fp_int, 1e-9) ** 2, k), 0.3),
+            e=jnp.ones((N,)))
+        env_null = env_mod.EnvState(x=env.x, x0=fp_int, ta=env.ta,
+                                    e=env.e)
+        env_new = env_mod.select(
+            surface, env_surf, env_mod.select(fsd_lane, env_fsd,
+                                              env_null))
 
         fsd_valid_new = jnp.asarray(fsd) & has_interaction \
             & ap_now.any_valid()
@@ -325,8 +328,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             acc=acc, pos=pos, sig=sig, hit_plane=hit_plane,
             active=active,
             exclude=sel(exclude_new, st["exclude"]),
-            env_x0=sel(x0_new, st["env_x0"]),
-            env_ta=sel(ta_new, st["env_ta"]),
+            env=env_mod.select(active, env_new, st["env"]),
             fsd_ap=jax.tree.map(
                 lambda n, o: jnp.where(
                     active.reshape(active.shape + (1,) * (n.ndim - 1)),
