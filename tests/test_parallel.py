@@ -87,3 +87,102 @@ class TestSharding:
         for r in results[1:]:
             np.testing.assert_allclose(r, results[0], rtol=2e-4,
                                        atol=1e-6)
+
+
+class TestWaveForwardBdptSharding:
+    """Sharded-vs-single agreement for the wave, forward, and bdpt
+    kernels (VERDICT r1 item 4: the flagship kernels must run on a
+    mesh)."""
+
+    def test_wave_sharded_matches_single(self, setup):
+        from wave_tracer_tpu.integrator.plt_path import trace_paths_wave
+        from wave_tracer_tpu.parallel.dist import sharded_wave_step
+        scene, built = setup
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        sensor = scene.sensors[0]
+        N = 64
+        pxy, jitter, sids = _lanes(sensor, N)
+        key = rng.make_base_key(0)
+
+        pos, values, ok = trace_paths_wave(
+            built.data, pxy, jitter, key, sids, sensor=sensor,
+            edge_table=built.data.edges, max_depth=3, eps=1e-4)
+        film0 = film_mod.make_film(sensor.width, sensor.height, 3,
+                                   sensor.rfilter_sigma)
+        ref = film_mod.splat(film0, pos, values, ok)
+
+        mesh = make_mesh(8)
+        step = sharded_wave_step(mesh, sensor, max_depth=3, eps=1e-4)
+        film1 = film_mod.make_film(sensor.width, sensor.height, 3,
+                                   sensor.rfilter_sigma)
+        out = step(built.data, film1, key, pxy, jitter, sids)
+        np.testing.assert_allclose(np.asarray(out.value),
+                                   np.asarray(ref.value),
+                                   rtol=2e-4, atol=1e-6)
+
+    def test_bdpt_sharded_matches_single(self, setup):
+        from wave_tracer_tpu.integrator.plt_bdpt import trace_bdpt
+        from wave_tracer_tpu.parallel.dist import sharded_bdpt_step
+        scene, built = setup
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        sensor = scene.sensors[0]
+        N = 32
+        pxy, jitter, sids = _lanes(sensor, N)
+        key = rng.make_base_key(2)
+
+        pos, values, ok, (lp, lv, lo) = trace_bdpt(
+            built.data, pxy, jitter, key, sids, sensor=sensor,
+            max_depth=3, eps=1e-4, fsd=True)
+        film0 = film_mod.make_film(sensor.width, sensor.height, 3,
+                                   sensor.rfilter_sigma)
+        ref = film_mod.splat(film0, pos, values, ok)
+        ref = film_mod.splat_direct(ref, lp, lv, lo)
+
+        mesh = make_mesh(8)
+        step = sharded_bdpt_step(mesh, sensor, max_depth=3, eps=1e-4)
+        film1 = film_mod.make_film(sensor.width, sensor.height, 3,
+                                   sensor.rfilter_sigma)
+        out = step(built.data, film1, key, pxy, jitter, sids)
+        np.testing.assert_allclose(np.asarray(out.value),
+                                   np.asarray(ref.value),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.direct),
+                                   np.asarray(ref.direct),
+                                   rtol=2e-4, atol=1e-6)
+
+    def test_forward_sharded_matches_single(self):
+        from wave_tracer_tpu.integrator.plt_path_forward import (
+            trace_forward)
+        from wave_tracer_tpu.parallel.dist import sharded_forward_step
+        from wave_tracer_tpu.sensor import film as fm
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from tests.test_coverage import make_coverage_scene
+        scene = make_coverage_scene(res=16)
+        built = build_scene(scene)
+        data = built.data.replace(
+            spectral=built.spectral_per_sensor[0])
+        sensor = scene.sensors[0]
+        N = 64
+        lane_ids = jnp.arange(N, dtype=jnp.int32)
+        sids = jnp.zeros((N,), jnp.int32)
+        live = jnp.ones((N,), bool)
+        key = rng.make_base_key(3)
+
+        pos, values, ok, sig = trace_forward(
+            data, lane_ids, key, sids, sensor=sensor,
+            edge_table=data.edges, max_depth=3, eps=1e-4, fsd=True)
+        film0 = fm.make_film(sensor.width, sensor.height, 1,
+                             sensor.rfilter_sigma)
+        ref = fm.splat_direct_gaussian(film0, pos, sig, values, ok & live)
+
+        mesh = make_mesh(8)
+        step = sharded_forward_step(mesh, sensor, max_depth=3, eps=1e-4)
+        film1 = fm.make_film(sensor.width, sensor.height, 1,
+                             sensor.rfilter_sigma)
+        out = step(data, film1, key, lane_ids, sids, live)
+        np.testing.assert_allclose(np.asarray(out.direct),
+                                   np.asarray(ref.direct),
+                                   rtol=2e-4, atol=1e-8)

@@ -117,8 +117,8 @@ def _closest_kernel(rf_ref, tf_ref, aux_ref, out_ref):
     tmax = aux_ref[:, 1:2]
     ex1 = aux_ref[:, 2:3]
     ex2 = aux_ref[:, 3:4]
-    ids = (j * BT).astype(jnp.float32) \
-        + jax.lax.broadcasted_iota(jnp.float32, (1, BT), 1)
+    ids = (j * BT + jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
+           ).astype(jnp.float32)
     hit = geom_ok & (t > tmin) & (t <= tmax) & (ids != ex1) & (ids != ex2)
     t = jnp.where(hit, t, BIG)
     trow = jnp.min(t, axis=1, keepdims=True)
@@ -145,8 +145,8 @@ def _anyhit_kernel(rf_ref, tf_ref, aux_ref, out_ref):
     tmax = aux_ref[:, 1:2]
     ex1 = aux_ref[:, 2:3]
     ex2 = aux_ref[:, 3:4]
-    ids = (j * BT).astype(jnp.float32) \
-        + jax.lax.broadcasted_iota(jnp.float32, (1, BT), 1)
+    ids = (j * BT + jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
+           ).astype(jnp.float32)
     hit = geom_ok & (t > tmin) & (t <= tmax) & (ids != ex1) & (ids != ex2)
     occ = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
 
