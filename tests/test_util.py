@@ -117,3 +117,62 @@ class TestDeviceCounters:
         # every surface interaction issues one NEE shadow ray (ray mode)
         assert c["shadow_rays"] == c["surface_interactions"]
         assert c["sum_path_depth"] <= c["rays_cast"]
+
+
+class TestInterrupts:
+    """The interrupt system (reference src/scene/render.cpp:328-368):
+    terminate keeps completed work; resume from the saved film + spp
+    cursor reproduces the uninterrupted render bit-exactly."""
+
+    def test_terminate_and_resume_bit_exact(self):
+        from tests.test_render import make_box_scene
+        from wave_tracer_tpu.render import render_scene
+        from wave_tracer_tpu.scene import build_scene
+
+        scene = make_box_scene(res=8, spp=8)
+        built = build_scene(scene)
+
+        full, stats0 = render_scene(built, spp=8, batch_lanes=1 << 9,
+                                    seed=3)
+        assert not stats0["interrupted"]
+
+        calls = {"n": 0}
+
+        def interrupt():
+            calls["n"] += 1
+            return "terminate" if calls["n"] >= 2 else None
+
+        part, stats1, rend = render_scene(
+            built, spp=8, batch_lanes=1 << 9, seed=3,
+            interrupt=interrupt, return_renderer=True)
+        assert stats1["interrupted"]
+        assert 0 < stats1["spp_done"] < 8
+
+        resumed, stats2 = render_scene(
+            built, spp=8, batch_lanes=1 << 9, seed=3,
+            init_film=rend.last_film,
+            spp_start=int(rend.last_spp_done))
+        assert not stats2["interrupted"]
+        np.testing.assert_allclose(resumed, full, rtol=1e-6, atol=1e-12)
+
+    def test_capture_intermediate(self):
+        from tests.test_render import make_box_scene
+        from wave_tracer_tpu.render import render_scene
+        from wave_tracer_tpu.scene import build_scene
+
+        scene = make_box_scene(res=8, spp=4)
+        built = build_scene(scene)
+        captures = []
+
+        def interrupt():
+            return "capture"
+
+        def on_capture(img, spp_done):
+            captures.append((img.copy(), spp_done))
+
+        img, stats = render_scene(built, spp=4, batch_lanes=1 << 9,
+                                  seed=1, interrupt=interrupt,
+                                  on_capture=on_capture)
+        assert not stats["interrupted"]
+        assert len(captures) >= 1
+        assert np.isfinite(captures[0][0]).all()

@@ -27,6 +27,7 @@ standard formula (one gather, exact parity with hit_attributes).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 BIG = float(np.float32(3.4e38))
+
+# f32 matmul emulation depth on the MXU: HIGHEST = 6 bf16 passes
+# (near-f64 products), HIGH = 3 passes (~f32 accuracy). Measured on the
+# box scene: HIGH halves trace time with hit parity in the 1e-5 range.
+_PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("WT_MXU_PRECISION", "highest").lower()]
 
 BN = 256   # rays per tile
 BT = 512   # triangles per tile (lane dim of each channel block)
@@ -96,7 +105,7 @@ def _sides_and_t(rf, tf):
     """Shared kernel body: matmul + sign tests. Returns (t, hitmask, ids)."""
     S = jax.lax.dot_general(
         rf, tf, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION,
         preferred_element_type=jnp.float32)              # (BN, 4*BT)
     s0 = S[:, 0 * BT:1 * BT]
     s1 = S[:, 1 * BT:2 * BT]

@@ -73,6 +73,29 @@ def cmd_render(args):
 
     outdir = args.output or "."
     os.makedirs(outdir, exist_ok=True)
+
+    # SIGINT → graceful terminate: finish the in-flight chunk, develop
+    # and write the completed work + a resumable checkpoint (the
+    # reference's terminate interrupt, src/main.cpp:231-235,
+    # src/scene/render.cpp:328-368). A second Ctrl-C aborts immediately.
+    import signal
+    sigint_state = {"count": 0}
+    prev_handler = signal.getsignal(signal.SIGINT)
+
+    def on_sigint(signum, frame):
+        sigint_state["count"] += 1
+        if sigint_state["count"] >= 2:
+            signal.signal(signal.SIGINT, prev_handler)
+            raise KeyboardInterrupt
+        print("\n[wave_tracer_tpu] interrupt: finishing current batch, "
+              "writing completed work (Ctrl-C again to abort)",
+              flush=True)
+
+    def poll_interrupt():
+        return "terminate" if sigint_state["count"] else None
+
+    signal.signal(signal.SIGINT, on_sigint)
+
     stats_all = []
     for si, sensor in enumerate(scene.sensors):
         spp = args.spp or sensor.samples
@@ -81,10 +104,35 @@ def cmd_render(args):
             print(f"\r[wave_tracer_tpu] sensor {si} ({sensor.id}): "
                   f"{done}/{total} spp", end="", flush=True)
 
-        img, stats = render_scene(built, sensor_index=si, spp=spp,
-                                  batch_lanes=args.batch_lanes,
-                                  seed=args.seed, progress=progress)
+        init_film, spp_start = None, 0
+        ckpt_path = os.path.join(outdir,
+                                 (sensor.id or f"sensor{si}") + ".ckpt.npz")
+        if args.resume and os.path.isfile(ckpt_path):
+            from wave_tracer_tpu.render.checkpoint import load_checkpoint
+            init_film, spp_start, ck_seed, _sid = load_checkpoint(ckpt_path)
+            if ck_seed != args.seed:
+                print(f"[wave_tracer_tpu] checkpoint seed {ck_seed} != "
+                      f"--seed {args.seed}; using checkpoint seed")
+                args.seed = ck_seed
+            spp_start = int(spp_start)
+            print(f"[wave_tracer_tpu] resuming from {ckpt_path} "
+                  f"({spp_start}/{spp} spp done)")
+
+        img, stats, rend = render_scene(
+            built, sensor_index=si, spp=spp,
+            batch_lanes=args.batch_lanes, seed=args.seed,
+            progress=progress, interrupt=poll_interrupt,
+            init_film=init_film, spp_start=spp_start,
+            return_renderer=True)
         print()
+        if stats.get("interrupted"):
+            from wave_tracer_tpu.render.checkpoint import save_checkpoint
+            save_checkpoint(ckpt_path, rend.last_film,
+                            int(rend.last_spp_done), args.seed,
+                            sensor.id or "")
+            print(f"[wave_tracer_tpu] interrupted at "
+                  f"{stats['spp_done']}/{spp} spp; checkpoint: "
+                  f"{ckpt_path} (resume with --resume)")
         stats_all.append(stats)
         resp = sensor.response
         base = os.path.join(outdir, sensor.id or f"sensor{si}")
@@ -143,6 +191,7 @@ def cmd_render(args):
         print(f"[wave_tracer_tpu] wrote {base}.exr / .png  "
               f"({stats['paths']} paths, "
               f"{stats['paths_per_sec']:.0f} paths/s)")
+    signal.signal(signal.SIGINT, prev_handler)
     if args.write_stats:
         with open(os.path.join(outdir, "perf_stats.json"), "w") as f:
             json.dump(stats_all, f, indent=2)
@@ -172,6 +221,9 @@ def main(argv=None):
     rp.add_argument("--tev", help="tev viewer host:port for live preview")
     rp.add_argument("--checkpoint", action="store_true",
                     help="write a resume checkpoint next to outputs")
+    rp.add_argument("--resume", action="store_true",
+                    help="resume from a sensor checkpoint in the output "
+                         "dir (written on interrupt or --checkpoint)")
 
     args = ap.parse_args(argv)
     if args.cmd == "version":

@@ -345,3 +345,25 @@ def sample_emission(et: EmitterTable, geo, spec_table, e, k, u4):
     weight = Le / jnp.maximum(pdf_area * pdf_dir, 1e-30)
     return dict(y=y, ln=ln, wo=wo, weight=weight, pdf_area=pdf_area,
                 pdf_dir=pdf_dir, valid=weight > 0)
+
+
+def pdf_emission_dir(et: EmitterTable, emitter_id, ln, wo):
+    """Directional density of sample_emission at an emitter vertex
+    (solid-angle measure): area = cosine hemisphere, point = uniform
+    sphere, spot = uniform cone, directional = delta (0). Mirrors the
+    pdf_dir terms of sample_emission (reference emitter pdfs,
+    include/wt/emitter/emitter.hpp)."""
+    eid = jnp.maximum(emitter_id, 0)
+    etype = et.etype[eid]
+    cos_e = vec.dot(ln, wo)
+    pdf_area_dir = jnp.maximum(cos_e, 0.0) / jnp.pi
+    sa_cut = 2.0 * jnp.pi * (1.0 - et.cos_cutoff[eid])
+    e_dir = et.dir[eid]
+    in_cone = vec.dot(e_dir, wo) >= et.cos_cutoff[eid]
+    pdf = jnp.where(etype == ET_AREA, pdf_area_dir,
+                    jnp.where(etype == ET_POINT,
+                              1.0 / (4.0 * jnp.pi),
+                              jnp.where((etype == ET_SPOT) & in_cone,
+                                        1.0 / jnp.maximum(sa_cut, 1e-9),
+                                        0.0)))
+    return jnp.where(emitter_id >= 0, pdf, 0.0)

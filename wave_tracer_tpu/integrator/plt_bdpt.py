@@ -413,19 +413,83 @@ def _geometry_term(pa, na, pb, nb):
             dn, jnp.sqrt(d2))
 
 
+def _chain_tables(pdf_fwd, pdf_rev, delta_v):
+    """Per-lane MIS chain tables over a stored subpath — the iterative
+    form of the reference's bdpt_compute_mis_weight pdf-ratio recursion
+    (reference plt_bdpt_detail.hpp:604-716), precomputed ONCE so each
+    strategy's weight is O(1).
+
+    r[j] = pdf_rev[j+1]/pdf_fwd[j] re-expresses vertex j as sampled from
+    the opposite side. Returns:
+      S_tab[:, tau] = sum_{j<=tau-2} (prod_{m=j}^{tau-2} r[m]) * mask_j
+                      (interior alternatives of a tau-vertex chain)
+      F_tab[:, tau] = prod_{m=0}^{tau-2} r[m] (unmasked full product,
+                      for appending emitter-vertex alternatives)
+    """
+    N, V = pdf_fwd.shape
+    r = pdf_rev[:, 1:] / jnp.maximum(pdf_fwd[:, :-1], 1e-30)
+    mb = ((~delta_v[:, :-1]) & (pdf_rev[:, 1:] > 0)).astype(jnp.float32)
+    S = [jnp.zeros((N,)), jnp.zeros((N,))]
+    F = [jnp.ones((N,)), jnp.ones((N,))]
+    for tau in range(2, V + 1):
+        S.append(r[:, tau - 2] * (S[tau - 1] + mb[:, tau - 2]))
+        F.append(r[:, tau - 2] * F[tau - 1])
+    return jnp.stack(S, axis=1), jnp.stack(F, axis=1)
+
+
+def _dyn(arr, i):
+    """arr (N, V, ...) indexed at traced scalar slot i (clamped)."""
+    i = jnp.clip(i, 0, arr.shape[1] - 1)
+    return jax.lax.dynamic_index_in_dim(arr, i, axis=1, keepdims=False)
+
+
+def _side_sum(tau, pconn, r_end_num, pdf_fwd, delta_v, S_tab,
+              F_tab=None, bottom=None):
+    """Sum of pdf ratios for the alternatives that re-sample one side's
+    chain from the other side (exact endpoint remap: the top TWO
+    transitions use per-strategy connection pdfs, interior transitions
+    the stored walk pdfs — reference remaps endpoint pdfs the same way,
+    vertex.hpp pdf overrides).
+
+    tau: traced chain length (stored vertices); pconn: area pdf of the
+    endpoint from across; r_end_num: area pdf of vertex tau-2 from the
+    endpoint given the connection direction. bottom: extra alternatives
+    appended below vertex 0 (emitter NEE / emission-hit), excluding the
+    chain product factor."""
+    pf_top = _dyn(pdf_fwd, tau - 1)
+    d_top = _dyn(delta_v, tau - 1)
+    ri0 = jnp.where(pf_top > 0, pconn / jnp.maximum(pf_top, 1e-30), 0.0)
+    ssum = jnp.where(d_top, 0.0, ri0)
+    pf_2 = _dyn(pdf_fwd, tau - 2)
+    d_2 = _dyn(delta_v, tau - 2)
+    r_end = r_end_num / jnp.maximum(pf_2, 1e-30)
+    m_end = ((~d_2) & (r_end_num > 0)).astype(jnp.float32)
+    S_t1 = _dyn(S_tab, tau - 1)
+    ssum = ssum + jnp.where(tau >= 2, ri0 * r_end * (m_end + S_t1), 0.0)
+    if bottom is not None:
+        F_t1 = _dyn(F_tab, tau - 1)
+        full = jnp.where(tau >= 2, ri0 * r_end * F_t1, ri0)
+        ssum = ssum + full * bottom
+    return ssum
+
+
 def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
                max_depth: int = 4, eps: float = 1e-5, fsd: bool = False,
                K: int = 8):
     """One BDPT batch. Returns (pos, values (N,C), ok, light_splats):
-    light_splats = (pos_lt (N,2), values_lt (N,C), ok_lt) from the t=1
-    light-tracing strategy, to be splat_direct'ed."""
+    light_splats = (pos_lt (N*T,2), values_lt (N*T,C), ok_lt) — EVERY
+    t=1 light-tracing vertex splats with its MIS weight (reference
+    connect t=1 strategy, plt_bdpt_detail.hpp:718+), flattened for
+    splat_direct."""
+    import math as _m
+
     geo = data.geo
     tables = data.tables
     et = data.emitters
     sp = data.spectral
     N = pixel_xy.shape[0]
     S = max_depth          # camera subpath vertices
-    T = max_depth          # light subpath vertices (incl. emitter vertex 0
+    T = max_depth          # light subpath vertices (emitter vertex 0
                            # handled separately)
     edge_table = getattr(data, "edges", None)
     edge_clusters = getattr(data, "edge_clusters", None)
@@ -438,11 +502,21 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
     k, _ = sp.sample_k(e0, u_spec[:, 1])
     w_spectral = 1.0 / jnp.maximum(sp.joint_spectral_density(k), 1e-30)
 
+    # camera directional pdf (solid angle) of a pinhole with uniform
+    # film-area sampling: p(w) = 1/(A_img cos^3); used consistently for
+    # the camera chain bottom AND the t=1 splat MIS
+    tan_half = _m.tan(0.5 * sensor.fov)
+    A_img = (2 * tan_half) * (2 * tan_half * sensor.height / sensor.width)
+    _, _, _, cam_fwd = sensor.camera_basis()
+    cam_fwd = jnp.asarray(cam_fwd, jnp.float32)
+
     # ---- camera subpath
     ro_c, rd_c, pixel_tan_alpha = sensor.generate_rays(pixel_xy, jitter)
+    cosz0 = jnp.maximum(vec.dot(rd_c, cam_fwd[None, :]), 1e-3)
+    p_camdir0 = 1.0 / (A_img * cosz0 ** 3)
     cam = _walk(data, sensor, keys, k, ro_c, rd_c,
                 jnp.full((N,), sensor.importance()),
-                jnp.full((N,), 1.0), S, eps, 0, polar="mueller",
+                p_camdir0, S, eps, 0, polar="mueller",
                 ta0=0.5 * pixel_tan_alpha, edge_table=edge_table,
                 edge_clusters=edge_clusters, fsd=fsd, K=K)
 
@@ -452,10 +526,7 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
                            axis=-1)
     em = etab.sample_emission(et, geo, tables.spectra, e0, k, u_em)
     pmf_e = sp.pmf_emitter(e0)
-    # beta after leaving the light: Le·cos/(pdfs) (weight already includes
-    # the cosine and pdfs), divided by the emitter pick pmf
     beta_l0 = em["weight"] / jnp.maximum(pmf_e, 1e-30)
-    # emitter phase-space sourcing (mirrors plt_path_forward)
     pse = et.pse_scale[e0]
     cosc = et.cos_cutoff[e0]
     ta_l = jnp.sqrt(jnp.maximum(1.0 - cosc * cosc, 1e-12)) \
@@ -474,207 +545,282 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
     def contrib4(M, Sv):
         return jnp.einsum("nij,nj->ni", M, Sv)
 
+    # ---- MIS chain tables (O(1) weight per strategy)
+    S_cam, F_cam = _chain_tables(cam["pdf_fwd"], cam["pdf_rev"],
+                                 cam["delta_v"])
+    S_lgt, F_lgt = _chain_tables(lgt["pdf_fwd"], lgt["pdf_rev"],
+                                 lgt["delta_v"])
+
+    # light-chain bottom alternatives (below stored vertex 0): the NEE
+    # strategy (ratio 1 — NEE and emission position sampling share the
+    # same area/delta measure; pmf cancels) and the emission-hit
+    # strategy. Uses the stored incoming at lgt[0] (exact for chains of
+    # >=3 stored vertices; the reference approximates these endpoint
+    # fsd/bottom pdfs similarly, plt_bdpt_detail.hpp:334).
+    dir0 = em["y"] - lgt["p"][:, 0]
+    d0_2 = jnp.maximum(vec.length2(dir0), 1e-18)
+    dir0 = dir0 / jnp.sqrt(d0_2)[:, None]
+    cos_e0 = jnp.abs(vec.dot(em["ln"], -dir0))
+    sfl0 = frame_mod.build_shading_frame(lgt["ns"][:, 0],
+                                         _tangent_of(lgt["ns"][:, 0]))
+    if T >= 2:
+        in0 = jnp.where(lgt["valid"][:, 1:2], -lgt["wi"][:, 1], dir0)
+    else:
+        in0 = dir0
+    _, pdf_lv0_to_em = bsdf_dev.eval_f(
+        tables, lgt["mat"][:, 0], sfl0.to_local(in0),
+        sfl0.to_local(dir0), lgt["uv"][:, 0], k)
+    pdf_nee_sa0 = etab.pdf_direct_solid_angle(et, e0, d0_2, cos_e0) \
+        * sp.pmf_emitter(e0)
+    m_nee0 = (pdf_lv0_to_em > 0).astype(jnp.float32)
+    r_hit0 = jnp.where(
+        (et.etype[jnp.maximum(e0, 0)] == etab.ET_AREA) & (cos_e0 > 1e-6)
+        & (pdf_nee_sa0 > 0),
+        pdf_lv0_to_em / jnp.maximum(pdf_nee_sa0, 1e-30), 0.0)
+    bot_light = m_nee0 * (1.0 + r_hit0)
+
     L = jnp.zeros((N, 4), jnp.float32)
 
-    def mis_weight(s_len, t_len, pdf_conn_cam, pdf_conn_lgt):
-        """Balance-heuristic weight for strategy (s_len light vertices,
-        t_len camera vertices) — simplified ratio recursion over stored
-        pdf arrays (bdpt_compute_mis_weight, plt_bdpt_detail.hpp:604-716).
-
-        pdf_conn_cam: area pdf of the camera-side connection vertex if it
-        had been sampled from the light side; pdf_conn_lgt vice versa.
-        """
-        ssum = jnp.zeros((N,))
-        # camera-side alternatives
-        ri = jnp.where(cam["pdf_fwd"][:, t_len - 1] > 0,
-                       pdf_conn_cam
-                       / jnp.maximum(cam["pdf_fwd"][:, t_len - 1], 1e-30),
-                       0.0)
-        ssum = ssum + jnp.where(cam["delta_v"][:, t_len - 1], 0.0, ri)
-        for j in range(S - 2, -1, -1):
-            use = (j < t_len - 1) & jnp.ones((N,), bool)
-            r_j = cam["pdf_rev"][:, j + 1] \
-                / jnp.maximum(cam["pdf_fwd"][:, j], 1e-30)
-            ri = ri * jnp.where(use, r_j, 1.0)
-            blocked = cam["delta_v"][:, j] \
-                | (cam["pdf_rev"][:, j + 1] <= 0)
-            ssum = ssum + jnp.where(use & ~blocked, ri, 0.0)
-        # light-side alternatives
-        if s_len > 0:
-            rl = jnp.where(lgt["pdf_fwd"][:, s_len - 1] > 0,
-                           pdf_conn_lgt
-                           / jnp.maximum(lgt["pdf_fwd"][:, s_len - 1],
-                                         1e-30), 0.0)
-            ssum = ssum + jnp.where(lgt["delta_v"][:, s_len - 1], 0.0, rl)
-            for j in range(T - 2, -1, -1):
-                use = (j < s_len - 1) & jnp.ones((N,), bool)
-                r_j = lgt["pdf_rev"][:, j + 1] \
-                    / jnp.maximum(lgt["pdf_fwd"][:, j], 1e-30)
-                rl = rl * jnp.where(use, r_j, 1.0)
-                blocked = lgt["delta_v"][:, j] \
-                    | (lgt["pdf_rev"][:, j + 1] <= 0)
-                ssum = ssum + jnp.where(use & ~blocked, rl, 0.0)
-        return 1.0 / jnp.maximum(1.0 + ssum, 1.0)
-
     # ---- strategy s=0: camera path hits an emitter
-    for t in range(1, S + 1):
+    def s0_body(t, L):
         v = t - 1
-        Le = etab.emission_radiance(
-            et, tables.spectra, cam["emitter"][:, v], k,
-            vec.dot(cam["wi"][:, v], cam["gn"][:, v]))
-        ok = cam["valid"][:, v] & (Le > 0)
-        # pdf of this vertex as a light sample (area)
-        pdf_as_light = jnp.where(
-            ok, _emitter_area_pdf(et, cam["emitter"][:, v]), 0.0)
-        w = jnp.where(t == 1, 1.0,
-                      mis_weight(0, t, pdf_as_light, jnp.zeros((N,))))
-        c_emit = contrib4(cam["pol_v"][:, v], stokes_mod.unpolarized(Le))
-        L = L + jnp.where(ok[:, None], w[..., None] * c_emit, 0.0)
+        p_v = _dyn(cam["p"], v)
+        gn_v = _dyn(cam["gn"], v)
+        wi_v = _dyn(cam["wi"], v)
+        em_v = _dyn(cam["emitter"], v)
+        Le = etab.emission_radiance(et, tables.spectra, em_v, k,
+                                    vec.dot(wi_v, gn_v))
+        ok = _dyn(cam["valid"], v) & (Le > 0)
+        pdf_as_light = jnp.where(ok, _emitter_area_pdf(et, em_v), 0.0)
+        # endpoint remap: emission DIRECTION pdf toward cam[t-2]
+        p_prev = _dyn(cam["p"], v - 1)
+        ns_prev = _dyn(cam["ns"], v - 1)
+        Gd = p_prev - p_v
+        dd2 = jnp.maximum(vec.length2(Gd), 1e-18)
+        Gd = Gd / jnp.sqrt(dd2)[:, None]
+        pdf_edir = etab.pdf_emission_dir(et, em_v, gn_v, Gd)
+        r_end_num = pdf_edir * jnp.abs(vec.dot(Gd, ns_prev)) / dd2
+        ssum = _side_sum(t, pdf_as_light, r_end_num, cam["pdf_fwd"],
+                         cam["delta_v"], S_cam)
+        w = jnp.where(t == 1, 1.0, 1.0 / jnp.maximum(1.0 + ssum, 1.0))
+        c_emit = contrib4(_dyn(cam["pol_v"], v),
+                          stokes_mod.unpolarized(Le))
+        return L + jnp.where(ok[:, None], w[..., None] * c_emit, 0.0)
 
-    # ---- strategies s=1 (NEE) and s>=2 (general connections)
-    for t in range(1, S + 1):
+    L = jax.lax.fori_loop(1, S + 1, s0_body, L)
+
+    # ---- strategies s=1 (NEE) and s>=2 (vertex connections), flattened
+    def conn_body(idx, L):
+        t = 1 + idx // (T + 1)
+        j = idx % (T + 1)
         cv = t - 1
-        cam_ok = cam["valid"][:, cv] & ~cam["delta_v"][:, cv] \
-            & ~cam["fsd_v"][:, cv]
-        sfc = frame_mod.build_shading_frame(cam["ns"][:, cv],
-                                            _tangent_of(cam["ns"][:, cv]))
-        wi_c = sfc.to_local(cam["wi"][:, cv])
+        cam_ok = _dyn(cam["valid"], cv) & ~_dyn(cam["delta_v"], cv) \
+            & ~_dyn(cam["fsd_v"], cv)
+        p_c = _dyn(cam["p"], cv)
+        ns_c = _dyn(cam["ns"], cv)
+        wi_c_w = _dyn(cam["wi"], cv)
+        uv_c = _dyn(cam["uv"], cv)
+        mat_c = _dyn(cam["mat"], cv)
+        pol_c = _dyn(cam["pol_v"], cv)
+        pax_c = _dyn(cam["pax_v"], cv)
+        sfc = frame_mod.build_shading_frame(ns_c, _tangent_of(ns_c))
+        wi_c = sfc.to_local(wi_c_w)
+        # camera-side chain: pdf of cam[cv-1] from cv given incoming dn
+        p_cprev = _dyn(cam["p"], cv - 1)
+        ns_cprev = _dyn(cam["ns"], cv - 1)
+        segc = p_cprev - p_c
+        dc2 = jnp.maximum(vec.length2(segc), 1e-18)
+        segc = segc / jnp.sqrt(dc2)[:, None]
 
-        # s=1: direct connection to a fresh emitter sample
-        dkeys = rng.depth_key(keys, 64 + t)
-        u_nee = rng.uniform(dkeys, rng.D_NEE, 3)
-        e_n, pmf_n = _sample_emitter_by_power(et, u_nee[:, 0] * 0.9999)
-        nee = etab.sample_direct(et, geo, tables.spectra, e_n,
-                                 cam["p"][:, cv], k, u_nee)
-        wo_c = sfc.to_local(nee["wo"])
-        f_c, pdf_c = bsdf_dev.eval_f(tables, cam["mat"][:, cv], wi_c,
-                                     wo_c, cam["uv"][:, cv], k)
-        occ = trace_mod.occluded(
-            geo, cam["p"][:, cv], nee["wo"], jnp.full((N,), eps),
-            nee["dist"] - 2 * eps, jnp.full((N,), -1, jnp.int32),
-            nee["tri"])
-        pdf_nee = pmf_n * nee["pdf_sa"]
-        M_nee, _ = compose_scatter(cam["pol_v"][:, cv],
-                                   cam["pax_v"][:, cv],
-                                   cam["wi"][:, cv], f_c, -nee["wo"])
-        c_nee = contrib4(M_nee, stokes_mod.unpolarized(nee["Li"])) \
-            / jnp.maximum(pdf_nee, 1e-30)[:, None]
-        # MIS vs hitting the light by BSDF sampling
-        w = jnp.where(nee["delta_dir"], 1.0,
-                      _ph(pdf_nee, pdf_c))
-        ok = cam_ok & nee["valid"] & ~occ & (pdf_nee > 0) \
-            & (f_c[:, 0, 0] > 0)
-        L = L + jnp.where(ok[:, None], w[..., None] * c_nee, 0.0)
+        def cam_r_end(dn):
+            """area pdf of cam[cv-1] from cv, incoming = dn (unit,
+            cv -> light side)."""
+            _, pdf = bsdf_dev.eval_f(tables, mat_c, sfc.to_local(dn),
+                                     wi_c, uv_c, k)
+            return pdf * jnp.abs(vec.dot(segc, ns_cprev)) / dc2
 
-        # s>=2: connect to stored light vertices
-        for s in range(2, T + 2):
-            lv = s - 2
-            if lv >= T:
-                continue
-            l_ok = lgt["valid"][:, lv] & ~lgt["delta_v"][:, lv] \
-                & ~lgt["fsd_v"][:, lv]
-            G, dn, dist = _geometry_term(cam["p"][:, cv],
-                                         cam["ns"][:, cv],
-                                         lgt["p"][:, lv],
-                                         lgt["ns"][:, lv])
-            sfl = frame_mod.build_shading_frame(
-                lgt["ns"][:, lv], _tangent_of(lgt["ns"][:, lv]))
+        dkeys = rng.depth_key(keys, 64 + idx)
+
+        # ---------- s=1: fresh NEE sample
+        def nee_strategy():
+            u_nee = rng.uniform(dkeys, rng.D_NEE, 3)
+            e_n, pmf_n = _sample_emitter_by_power(et,
+                                                  u_nee[:, 0] * 0.9999)
+            nee = etab.sample_direct(et, geo, tables.spectra, e_n, p_c,
+                                     k, u_nee)
+            wo_c = sfc.to_local(nee["wo"])
+            f_c, pdf_c = bsdf_dev.eval_f(tables, mat_c, wi_c, wo_c,
+                                         uv_c, k)
+            occ = trace_mod.occluded(
+                geo, p_c, nee["wo"], jnp.full((N,), eps),
+                nee["dist"] - 2 * eps, jnp.full((N,), -1, jnp.int32),
+                nee["tri"])
+            pdf_nee = pmf_n * nee["pdf_sa"]
+            M_nee, _ = compose_scatter(pol_c, pax_c, wi_c_w, f_c,
+                                       -nee["wo"])
+            c_nee = contrib4(M_nee, stokes_mod.unpolarized(nee["Li"])) \
+                / jnp.maximum(pdf_nee, 1e-30)[:, None]
+            # light side: single emitter vertex; s'=0 alternative ratio
+            ssum_l = jnp.where(nee["delta_dir"], 0.0,
+                               pdf_c / jnp.maximum(pdf_nee, 1e-30))
+            # camera side: alternatives re-sample cv (and below) from
+            # the light: emission direction pdf toward cv
+            cos_on_l = jnp.abs(vec.dot(nee["wo"], nee["ln"]))
+            pdf_edir = etab.pdf_emission_dir(et, e_n, nee["ln"],
+                                             -nee["wo"])
+            dist2 = jnp.maximum(nee["dist"], 1e-9) ** 2
+            pconn_cam = pdf_edir * jnp.abs(vec.dot(nee["wo"], ns_c)) \
+                / dist2
+            ssum_c = _side_sum(t, pconn_cam, cam_r_end(nee["wo"]),
+                               cam["pdf_fwd"], cam["delta_v"], S_cam)
+            w = 1.0 / jnp.maximum(1.0 + ssum_l + ssum_c, 1.0)
+            ok = cam_ok & nee["valid"] & ~occ & (pdf_nee > 0) \
+                & (f_c[:, 0, 0] > 0)
+            return jnp.where(ok[:, None], w[..., None] * c_nee, 0.0)
+
+        # ---------- s>=2: connect to stored light vertex lv = j-1
+        def conn_strategy():
+            lv = j - 1
+            s_len = j            # stored light vertices in the chain
+            l_ok = _dyn(lgt["valid"], lv) & ~_dyn(lgt["delta_v"], lv) \
+                & ~_dyn(lgt["fsd_v"], lv)
+            p_l = _dyn(lgt["p"], lv)
+            ns_l = _dyn(lgt["ns"], lv)
+            wi_l_w = _dyn(lgt["wi"], lv)
+            uv_l = _dyn(lgt["uv"], lv)
+            mat_l = _dyn(lgt["mat"], lv)
+            pol_l = _dyn(lgt["pol_v"], lv)
+            pax_l = _dyn(lgt["pax_v"], lv)
+            G, dn, dist = _geometry_term(p_c, ns_c, p_l, ns_l)
+            sfl = frame_mod.build_shading_frame(ns_l, _tangent_of(ns_l))
             f_cam, pdf_cam_dir = bsdf_dev.eval_f(
-                tables, cam["mat"][:, cv], wi_c, sfc.to_local(dn),
-                cam["uv"][:, cv], k)
+                tables, mat_c, wi_c, sfc.to_local(dn), uv_c, k)
             f_lgt, pdf_lgt_dir = bsdf_dev.eval_f(
-                tables, lgt["mat"][:, lv],
-                sfl.to_local(lgt["wi"][:, lv]), sfl.to_local(-dn),
-                lgt["uv"][:, lv], k)
+                tables, mat_l, sfl.to_local(wi_l_w), sfl.to_local(-dn),
+                uv_l, k)
             occ2 = trace_mod.occluded(
-                geo, cam["p"][:, cv], dn, jnp.full((N,), eps),
-                dist - 2 * eps, jnp.full((N,), -1, jnp.int32),
+                geo, p_c, dn, jnp.full((N,), eps), dist - 2 * eps,
+                jnp.full((N,), -1, jnp.int32),
                 jnp.full((N,), -1, jnp.int32))
-            # f includes cos at each end; G supplies both cosines and 1/d²
-            # → divide out the cosines included in f
-            cos_c = jnp.maximum(jnp.abs(vec.dot(dn, cam["ns"][:, cv])),
-                                1e-7)
-            cos_l = jnp.maximum(jnp.abs(vec.dot(dn, lgt["ns"][:, lv])),
-                                1e-7)
-            # polarized connection (integrate_beams, beam.hpp:562-603):
-            # light-side Stokes through its BSDF, reoriented into the
-            # camera chain's expected transverse frame, contracted
-            d_in_l = -lgt["wi"][:, lv]
+            cos_c = jnp.maximum(jnp.abs(vec.dot(dn, ns_c)), 1e-7)
+            cos_l = jnp.maximum(jnp.abs(vec.dot(dn, ns_l)), 1e-7)
+            d_in_l = -wi_l_w
             s_ax_l = _safe_cross(d_in_l, -dn)
-            S_rot = stokes_mod.reorient(lgt["pol_v"][:, lv],
-                                        lgt["pax_v"][:, lv], s_ax_l,
-                                        d_in_l)
+            S_rot = stokes_mod.reorient(pol_l, pax_l, s_ax_l, d_in_l)
             S1 = jnp.einsum("nij,nj->ni", f_lgt, S_rot)
-            M_conn, x_in = compose_scatter(cam["pol_v"][:, cv],
-                                           cam["pax_v"][:, cv],
-                                           cam["wi"][:, cv], f_cam, -dn)
+            M_conn, x_in = compose_scatter(pol_c, pax_c, wi_c_w, f_cam,
+                                           -dn)
             S2 = stokes_mod.reorient(S1, s_ax_l, x_in, -dn)
             geom = G / (cos_c * cos_l)
             c_conn = contrib4(M_conn, S2) * geom[:, None]
-            pdf_conn_cam = pdf_lgt_dir * cos_c \
-                / jnp.maximum(dist, 1e-9) ** 2
-            pdf_conn_lgt = pdf_cam_dir * cos_l \
-                / jnp.maximum(dist, 1e-9) ** 2
-            w = mis_weight(s - 1, t, pdf_conn_cam, pdf_conn_lgt)
+            d2 = jnp.maximum(dist, 1e-9) ** 2
+            pconn_cam = pdf_lgt_dir * cos_c / d2
+            pconn_lgt = pdf_cam_dir * cos_l / d2
+            # light-side endpoint remap: pdf of lgt[lv-1] from lv given
+            # incoming -dn
+            p_lprev = _dyn(lgt["p"], lv - 1)
+            ns_lprev = _dyn(lgt["ns"], lv - 1)
+            segl = p_lprev - p_l
+            dl2 = jnp.maximum(vec.length2(segl), 1e-18)
+            segl = segl / jnp.sqrt(dl2)[:, None]
+            _, pdf_l_rev = bsdf_dev.eval_f(tables, mat_l,
+                                           sfl.to_local(-dn),
+                                           sfl.to_local(wi_l_w), uv_l, k)
+            r_end_l = pdf_l_rev * jnp.abs(vec.dot(segl, ns_lprev)) / dl2
+            ssum_c = _side_sum(t, pconn_cam, cam_r_end(dn),
+                               cam["pdf_fwd"], cam["delta_v"], S_cam)
+            ssum_l = _side_sum(s_len, pconn_lgt, r_end_l,
+                               lgt["pdf_fwd"], lgt["delta_v"], S_lgt,
+                               F_lgt, bot_light)
+            w = 1.0 / jnp.maximum(1.0 + ssum_c + ssum_l, 1.0)
             ok = cam_ok & l_ok & ~occ2 & (c_conn[:, 0] > 0)
-            L = L + jnp.where(ok[:, None], w[..., None] * c_conn, 0.0)
+            return jnp.where(ok[:, None], w[..., None] * c_conn, 0.0)
 
-    # ---- t=1: light tracing onto the sensor
-    lt_pos = jnp.zeros((N, 2))
-    lt_val = jnp.zeros((N, 4))
-    lt_ok = jnp.zeros((N,), bool)
-    for s in range(2, T + 2):
-        lv = s - 2
-        if lv >= T:
-            continue
-        pxy_l, visible, cosz, dn_cam, dist_c = sensor.project(
-            lgt["p"][:, lv])
-        sfl = frame_mod.build_shading_frame(lgt["ns"][:, lv],
-                                            _tangent_of(lgt["ns"][:, lv]))
-        f_l, _ = bsdf_dev.eval_f(tables, lgt["mat"][:, lv],
-                                 sfl.to_local(lgt["wi"][:, lv]),
-                                 sfl.to_local(-dn_cam),
-                                 lgt["uv"][:, lv], k)
-        ro_cam = jnp.broadcast_to(
-            jnp.asarray(sensor.camera_basis()[0], jnp.float32), (N, 3))
+        dL = jnp.where(j == 0, nee_strategy(), conn_strategy())
+        return L + dL
+
+    L = jax.lax.fori_loop(0, S * (T + 1), conn_body, L)
+
+    # ---- t=1: light tracing onto the sensor — EVERY stored light
+    # vertex splats, weighted by the full MIS (the camera subpath is the
+    # bare pinhole; alternatives live entirely on the light chain)
+    ro_cam = jnp.broadcast_to(
+        jnp.asarray(sensor.camera_basis()[0], jnp.float32), (N, 3))
+
+    def lt_body(lv, carry):
+        lt_pos, lt_val, lt_ok = carry
+        s_len = lv + 1
+        p_l = _dyn(lgt["p"], lv)
+        ns_l = _dyn(lgt["ns"], lv)
+        wi_l_w = _dyn(lgt["wi"], lv)
+        uv_l = _dyn(lgt["uv"], lv)
+        mat_l = _dyn(lgt["mat"], lv)
+        pol_l = _dyn(lgt["pol_v"], lv)
+        pax_l = _dyn(lgt["pax_v"], lv)
+        pxy_l, visible, cosz, dn_cam, dist_c = sensor.project(p_l)
+        sfl = frame_mod.build_shading_frame(ns_l, _tangent_of(ns_l))
+        f_l, _ = bsdf_dev.eval_f(tables, mat_l, sfl.to_local(wi_l_w),
+                                 sfl.to_local(-dn_cam), uv_l, k)
         occ3 = trace_mod.occluded(
             geo, ro_cam, dn_cam, jnp.full((N,), eps), dist_c - 2 * eps,
             jnp.full((N,), -1, jnp.int32), jnp.full((N,), -1, jnp.int32))
-        # importance W for the pinhole: 1/(A_pix · cos^4 ... ) — use the
-        # standard measurement-equation factor for a pinhole with film
-        # solid-angle mapping
-        import math as _m
-        tan_half = _m.tan(0.5 * sensor.fov)
-        A_img = (2 * tan_half) * (2 * tan_half
-                                  * sensor.height / sensor.width)
         W_cam = 1.0 / (A_img * jnp.maximum(cosz, 1e-3) ** 4)
-        # light-side Stokes through its BSDF toward the camera (the
-        # pinhole importance is Mueller-identity × W)
-        d_in_l = -lgt["wi"][:, lv]
+        d_in_l = -wi_l_w
         s_ax_l = _safe_cross(d_in_l, -dn_cam)
-        S_rot = stokes_mod.reorient(lgt["pol_v"][:, lv],
-                                    lgt["pax_v"][:, lv], s_ax_l, d_in_l)
+        S_rot = stokes_mod.reorient(pol_l, pax_l, s_ax_l, d_in_l)
         S1 = jnp.einsum("nij,nj->ni", f_l, S_rot)
-        val = S1 * (W_cam / jnp.maximum(dist_c, 1e-9) ** 2)[:, None]
-        ok = lgt["valid"][:, lv] & ~lgt["delta_v"][:, lv] \
-            & ~lgt["fsd_v"][:, lv] & visible & ~occ3 & (val[:, 0] > 0)
-        better = ok & ~lt_ok
-        lt_pos = jnp.where(better[:, None], pxy_l, lt_pos)
-        lt_val = jnp.where(better[:, None], val, lt_val)
-        lt_ok = lt_ok | ok
+        d2c = jnp.maximum(dist_c, 1e-9) ** 2
+        val = S1 * (W_cam / d2c)[:, None]
+        # MIS: re-sample the light chain from the camera side
+        cos_l = jnp.maximum(jnp.abs(vec.dot(dn_cam, ns_l)), 1e-7)
+        p_camdir = 1.0 / (A_img * jnp.maximum(cosz, 1e-3) ** 3)
+        pconn_lgt = p_camdir * cos_l / d2c
+        p_lprev = _dyn(lgt["p"], lv - 1)
+        ns_lprev = _dyn(lgt["ns"], lv - 1)
+        segl = p_lprev - p_l
+        dl2 = jnp.maximum(vec.length2(segl), 1e-18)
+        segl = segl / jnp.sqrt(dl2)[:, None]
+        _, pdf_l_rev = bsdf_dev.eval_f(tables, mat_l,
+                                       sfl.to_local(-dn_cam),
+                                       sfl.to_local(wi_l_w), uv_l, k)
+        r_end_l = pdf_l_rev * jnp.abs(vec.dot(segl, ns_lprev)) / dl2
+        ssum_l = _side_sum(s_len, pconn_lgt, r_end_l, lgt["pdf_fwd"],
+                           lgt["delta_v"], S_lgt, F_lgt, bot_light)
+        w = 1.0 / jnp.maximum(1.0 + ssum_l, 1.0)
+        ok = _dyn(lgt["valid"], lv) & ~_dyn(lgt["delta_v"], lv) \
+            & ~_dyn(lgt["fsd_v"], lv) & visible & ~occ3 \
+            & (val[:, 0] > 0)
+        val = val * w[:, None]
+        lt_pos = jax.lax.dynamic_update_index_in_dim(
+            lt_pos, pxy_l, lv, axis=1)
+        lt_val = jax.lax.dynamic_update_index_in_dim(
+            lt_val, val, lv, axis=1)
+        lt_ok = jax.lax.dynamic_update_index_in_dim(lt_ok, ok, lv,
+                                                    axis=1)
+        return lt_pos, lt_val, lt_ok
+
+    lt_pos = jnp.zeros((N, T, 2))
+    lt_val = jnp.zeros((N, T, 4))
+    lt_ok = jnp.zeros((N, T), bool)
+    lt_pos, lt_val, lt_ok = jax.lax.fori_loop(
+        0, T, lt_body, (lt_pos, lt_val, lt_ok))
 
     splat_pos = pixel_xy.astype(jnp.float32) + jitter
     Lw = L * w_spectral[:, None]
-    ltw = lt_val * w_spectral[:, None]
+    ltw = lt_val * w_spectral[:, None, None]
     npix = sensor.width * sensor.height
     if polarimetric:
         values = (Lw[:, None, :] * sens[..., None]).reshape(N, -1)
-        lt_values = (ltw[:, None, :] * sens[..., None]).reshape(N, -1)
+        lt_values = (ltw[:, :, None, :]
+                     * sens[:, None, :, None]).reshape(N, T, -1)
     else:
         values = Lw[:, 0:1] * sens
-        lt_values = ltw[:, 0:1] * sens
+        lt_values = ltw[..., 0:1] * sens[:, None, :]
+    Cl = lt_values.shape[-1]
     return (splat_pos, values, jnp.ones((N,), bool),
-            (lt_pos, lt_values / npix, lt_ok))
+            (lt_pos.reshape(N * T, 2),
+             (lt_values / npix).reshape(N * T, Cl),
+             lt_ok.reshape(N * T)))
 
 
 def _ph(a, b):

@@ -44,9 +44,21 @@ class Renderer:
     # with pre-staged scalars — the axon TPU backend currently compiles
     # the unfused kernel far more reliably.
     fuse_batches: bool = True
+    # interrupt system (reference src/scene/render.cpp:328-368): a
+    # callable polled between dispatches returning None | "terminate" |
+    # "capture". "terminate" stops after the current chunk and develops
+    # the completed work; "capture" develops mid-render and passes the
+    # intermediate image to on_capture (capture_intermediate analogue).
+    # Pausing = blocking inside the callable.
+    interrupt: object = None
+    on_capture: object = None
+    # populated after render_sensor: the raw film + progress, for
+    # checkpoint/resume of interrupted renders
+    last_film: object = None
+    last_spp_done: int = 0
 
     def render_sensor(self, sensor_index: int = 0, spp: int | None = None,
-                      progress=None):
+                      progress=None, init_film=None, spp_start: int = 0):
         built = self.built
         scene = built.scene
         sensor = scene.sensors[sensor_index]
@@ -54,17 +66,34 @@ class Renderer:
         data = built.data.replace(
             spectral=built.spectral_per_sensor[sensor_index])
         if isinstance(sensor, VirtualPlaneSensor):
-            return self._render_forward(data, sensor, spp, progress)
-        return self._render_backward(data, sensor, spp, progress)
+            return self._render_forward(data, sensor, spp, progress,
+                                        init_film, spp_start)
+        return self._render_backward(data, sensor, spp, progress,
+                                     init_film, spp_start)
+
+    def _poll_interrupt(self, film, spp_done, direct_norm):
+        """Returns True when the render should stop. direct_norm is the
+        per-element normalization of the light image at capture time
+        (0 = no direct image in this mode)."""
+        if self.interrupt is None:
+            return False
+        action = self.interrupt()
+        if action == "capture" and self.on_capture is not None:
+            img = np.asarray(film_mod.develop(film, direct_norm))
+            self.on_capture(img, spp_done)
+            return False
+        return action == "terminate"
 
     # ------------------------------------------------------------------
-    def _render_backward(self, data, sensor, spp, progress):
+    def _render_backward(self, data, sensor, spp, progress,
+                         init_film=None, spp_start: int = 0):
         built = self.built
         scene = built.scene
         W, H = sensor.width, sensor.height
         C = sensor.response.channels \
             * (4 if getattr(sensor, "polarimetric", False) else 1)
-        film = film_mod.make_film(W, H, C, sensor.rfilter_sigma)
+        film = init_film if init_film is not None \
+            else film_mod.make_film(W, H, C, sensor.rfilter_sigma)
         base_key = rng.make_base_key(self.seed)
         cfg = scene.integrator
         eps = 1e-4 * scene.world_radius()
@@ -80,6 +109,10 @@ class Renderer:
         lanes = self.batch_lanes
         pix_per_batch = min(max(lanes // max(spp, 1), 1), npixels)
         spp_per_batch = min(max(lanes // pix_per_batch, 1), spp)
+        if self.interrupt is not None:
+            # interrupt-responsive chunking: ≥~8 poll points per render
+            spp_per_batch = min(spp_per_batch, max(1, -(-spp // 8)))
+            pix_per_batch = min(max(lanes // spp_per_batch, 1), npixels)
 
         kern = make_render_kernel(sensor, cfg.max_depth, eps, cfg.mis,
                                   wave, bdpt, bdpt_fsd=fsd_on)
@@ -92,7 +125,8 @@ class Renderer:
         # a per-call `+` serializes against the render dispatch chain and
         # costs ~13% throughput on this backend
         kst_list = []
-        for s0 in range(0, spp, spp_per_batch):
+        spp_done = spp_start
+        for s0 in range(spp_start, spp, spp_per_batch):
             s1 = min(s0 + spp_per_batch, spp)
             s0_dev = jnp.asarray(s0)
             sc_dev = jnp.asarray(s1 - s0)
@@ -103,24 +137,52 @@ class Renderer:
                                  sc_dev, s1 - s0)
                 kst_list.append(kst)
             else:
+                stop = False
+                film_chunk0 = None
+                if self.interrupt is not None:
+                    # snapshot so a mid-sweep terminate can roll back to
+                    # the chunk boundary (resume would otherwise double-
+                    # splat the completed pixel batches)
+                    film_chunk0 = film.replace(
+                        value=film.value + 0, weight=film.weight + 0,
+                        direct=film.direct + 0)
                 for bi in range(n_pix_batches):
                     film, kst = kern(data, film, base_key, npix_dev, 1,
                                      pix_per_batch, s0_dev, sc_dev,
                                      s1 - s0, b0=jnp.asarray(bi))
                     kst_list.append(kst)
+                    # unfused mode polls between pixel-batch dispatches
+                    # too (finer interrupt granularity); a partial pixel
+                    # sweep still develops correctly through the film's
+                    # per-texel weights
+                    if self._poll_interrupt(film, s0,
+                                            s0 if bdpt else 0.0):
+                        stop = True
+                        break
+                if stop:
+                    film = film_chunk0
+                    break
             total_lanes += npixels * (s1 - s0)
+            spp_done = s1
             if progress:
                 progress(s1, spp)
+            if self._poll_interrupt(film, spp_done,
+                                    spp_done if bdpt else 0.0):
+                break
         film.value.block_until_ready()
+        self.last_film = film
+        self.last_spp_done = spp_done
         dev_stats = jnp.sum(jnp.stack(kst_list), axis=0) \
             if kst_list else None
         dt = time.time() - t0
         # bdpt light-tracing splats live in the direct image, normalized
         # per-pixel-sample like the reference's light image
-        img = np.asarray(film_mod.develop(film, spp if bdpt else 0.0))
+        img = np.asarray(film_mod.develop(film,
+                                          spp_done if bdpt else 0.0))
         mode = "bdpt" if bdpt else ("wave" if wave else "ray")
         out = dict(seconds=dt, paths=total_lanes,
-                   paths_per_sec=total_lanes / max(dt, 1e-9), mode=mode)
+                   paths_per_sec=total_lanes / max(dt, 1e-9), mode=mode,
+                   spp_done=spp_done, interrupted=spp_done < spp)
         # (bdpt does not carry device counters yet — skip the all-zero
         # vector rather than report it as measured)
         if dev_stats is not None and not bdpt:
@@ -129,12 +191,14 @@ class Renderer:
         return img, out
 
     # ------------------------------------------------------------------
-    def _render_forward(self, data, sensor, spp, progress):
+    def _render_forward(self, data, sensor, spp, progress,
+                        init_film=None, spp_start: int = 0):
         built = self.built
         scene = built.scene
         W, H = sensor.width, sensor.height
         C = sensor.response.channels
-        film = film_mod.make_film(W, H, C, sensor.rfilter_sigma)
+        film = init_film if init_film is not None \
+            else film_mod.make_film(W, H, C, sensor.rfilter_sigma)
         base_key = rng.make_base_key(self.seed)
         cfg = scene.integrator
         eps = 1e-4 * scene.world_radius()
@@ -147,8 +211,8 @@ class Renderer:
                                    fsd_mode)
 
         t0 = time.time()
-        done = 0
-        batch = 0
+        done = spp_start * W * H
+        batch = -(-done // lanes)
         while done < total_paths:
             n = min(lanes, total_paths - done)
             lane_ids = jnp.arange(lanes, dtype=jnp.int32)
@@ -159,13 +223,19 @@ class Renderer:
             batch += 1
             if progress:
                 progress(done, total_paths)
+            spe_now = done / float(W * H)
+            if self._poll_interrupt(film, spe_now, spe_now):
+                break
         film.direct.block_until_ready()
+        self.last_film = film
+        self.last_spp_done = done / float(W * H)
         dt = time.time() - t0
-        spe = total_paths / float(W * H)
+        spe = done / float(W * H)
         img = np.asarray(film_mod.develop(film, spe))
-        return img, dict(seconds=dt, paths=total_paths,
-                         paths_per_sec=total_paths / max(dt, 1e-9),
-                         mode="forward-wave" if wave else "forward")
+        return img, dict(seconds=dt, paths=done,
+                         paths_per_sec=done / max(dt, 1e-9),
+                         mode="forward-wave" if wave else "forward",
+                         spp_done=spe, interrupted=done < total_paths)
 
 
 def _record_device_stats(vec):
@@ -232,7 +302,7 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False,
             if bdpt:
                 pos, values, ok, (lt_pos, lt_val, lt_ok) = trace_bdpt(
                     data, pxy, jit_u, base_key, sid, sensor=sensor,
-                    max_depth=min(max_depth, 4), eps=eps, fsd=bdpt_fsd)
+                    max_depth=min(max_depth, 16), eps=eps, fsd=bdpt_fsd)
                 film = film_mod.splat_direct(film, lt_pos, lt_val,
                                              lt_ok & live)
             elif wave:
@@ -274,7 +344,14 @@ def make_forward_kernel(sensor, max_depth, eps, wave, fsd_mode="utd"):
 
 def render_scene(built, sensor_index: int = 0, spp: int | None = None,
                  batch_lanes: int = 1 << 17, seed: int = 0,
-                 progress=None, fuse_batches: bool = True):
+                 progress=None, fuse_batches: bool = True,
+                 interrupt=None, on_capture=None, init_film=None,
+                 spp_start: int = 0, return_renderer: bool = False):
     r = Renderer(built, batch_lanes=batch_lanes, seed=seed,
-                 fuse_batches=fuse_batches)
-    return r.render_sensor(sensor_index, spp, progress)
+                 fuse_batches=fuse_batches, interrupt=interrupt,
+                 on_capture=on_capture)
+    out = r.render_sensor(sensor_index, spp, progress,
+                          init_film=init_film, spp_start=spp_start)
+    if return_renderer:
+        return out + (r,)
+    return out
