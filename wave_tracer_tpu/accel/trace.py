@@ -597,6 +597,98 @@ def tris_near_ray(geo: GeoArrays, ro, rd, x0, tan_alpha, zmax, K: int,
     return bidx, bz, valid.sum(axis=1).astype(jnp.int32)
 
 
+def tris_near_cone(geo: GeoArrays, ro, rd, env, zmax, K: int,
+                   tile: int = 512, zmin: float = 1e-7):
+    """Triangle set intersecting the elliptic cone envelope — EXACT
+    cone-mode intersect (reference ads_t::intersect(cone),
+    src/ads/bvh8w.cpp:233-318 with the exact per-triangle test of
+    include/wt/math/intersect/cone.hpp:550-627).
+
+    env: wave.envelope.EnvState (x major dir, x0, ta, e) per lane; the
+    cone rides (ro, rd). Returns (idx (N, K) i32 −1-padded, z (N, K)
+    entry distances ascending, count (N,)).
+    """
+    from wave_tracer_tpu.ops import cone_intersect as ci
+    T = geo.num_tris
+    N = ro.shape[0]
+    if T == 0:
+        return (jnp.full((N, K), -1, jnp.int32),
+                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    TP = max(tile, ((T + tile - 1) // tile) * tile)
+    pad = TP - T
+    p0 = jnp.pad(geo.p0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(geo.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(geo.e2, ((0, pad), (0, 0)))
+
+    xh = env.x
+    yh = jnp.cross(rd, xh)
+    ecc = env.e[:, None]
+
+    def to_local(p):
+        """(N, tile, 3) world → local scaled."""
+        u = p - ro[:, None, :]
+        return jnp.stack([
+            jnp.sum(u * xh[:, None, :], axis=-1),
+            ecc * jnp.sum(u * yh[:, None, :], axis=-1),
+            jnp.sum(u * rd[:, None, :], axis=-1)], axis=-1)
+
+    x0b = env.x0[:, None]
+    tab = env.ta[:, None]
+    zmaxb = jnp.broadcast_to(zmax[:, None], (N, tile))
+    zminb = jnp.full((N, tile), zmin)
+
+    def body(ci_idx, carry):
+        bz, bidx = carry
+        s = ci_idx * tile
+        ta_ = jax.lax.dynamic_slice(p0, (s, 0), (tile, 3))
+        t1 = jax.lax.dynamic_slice(e1, (s, 0), (tile, 3))
+        t2 = jax.lax.dynamic_slice(e2, (s, 0), (tile, 3))
+        A = to_local(jnp.broadcast_to(ta_[None], (N, tile, 3)))
+        B = to_local(jnp.broadcast_to((ta_ + t1)[None], (N, tile, 3)))
+        C = to_local(jnp.broadcast_to((ta_ + t2)[None], (N, tile, 3)))
+        z, _, ok = ci.intersect_cone_tri(x0b, tab, A, B, C, zminb, zmaxb)
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        zk = jnp.where(ok & (ids < T), z, jnp.inf)
+        cat_z = jnp.concatenate([bz, zk], axis=1)
+        cat_i = jnp.concatenate([bidx, jnp.broadcast_to(ids, zk.shape)],
+                                axis=1)
+        neg, sel = jax.lax.top_k(-cat_z, K)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((N, K), jnp.inf), jnp.full((N, K), -1, jnp.int32))
+    bz, bidx = jax.lax.fori_loop(0, TP // tile, body, init)
+    valid = jnp.isfinite(bz)
+    bidx = jnp.where(valid, bidx, -1)
+    return bidx, bz, valid.sum(axis=1).astype(jnp.int32)
+
+
+def cone_tri_entry_point(geo: GeoArrays, ro, rd, env, tri, zmin, zmax):
+    """Entry distance + world point of the cone into ONE triangle per
+    lane (reference intersect_cone_tri return, cone.hpp:550-627). tri
+    (N,) i32 (−1 → invalid). Returns (z (N,), p (N, 3), valid)."""
+    from wave_tracer_tpu.ops import cone_intersect as ci
+    ti = jnp.maximum(tri, 0)
+    row = geo.tri_geom[ti]
+    xh = env.x
+    yh = jnp.cross(rd, xh)
+
+    def to_local(p):
+        u = p - ro
+        return jnp.stack([
+            jnp.sum(u * xh, axis=-1),
+            env.e * jnp.sum(u * yh, axis=-1),
+            jnp.sum(u * rd, axis=-1)], axis=-1)
+
+    A = to_local(row[:, 0:3])
+    B = to_local(row[:, 0:3] + row[:, 3:6])
+    C = to_local(row[:, 0:3] + row[:, 6:9])
+    z, p, ok = ci.intersect_cone_tri(env.x0, env.ta, A, B, C, zmin, zmax)
+    inv_e = 1.0 / jnp.maximum(env.e, 1.0)
+    pw = ro + p[..., 0:1] * xh + (p[..., 1] * inv_e)[..., None] * yh \
+        + p[..., 2:3] * rd
+    return z, pw, ok & (tri >= 0)
+
+
 @struct.dataclass
 class SurfaceHit:
     """Interpolated surface interaction (reference

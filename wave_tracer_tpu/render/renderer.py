@@ -263,10 +263,32 @@ def _record_device_stats(vec):
     return out
 
 
+# compiled-kernel cache: make_render_kernel returns a fresh @jax.jit
+# closure, so without caching EVERY render_scene call would recompile
+# (~30 s on the axon backend — this was silently eating 3x of the bench
+# throughput: the "timed second pass" recompiled too)
+_kernel_cache = {}
+
+
 def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False,
                        bdpt_fsd=False):
     """Jitted backward launch: sweep all pixel batches for one spp chunk
-    inside a single dispatch (device-side fori_loop over batches)."""
+    inside a single dispatch (device-side fori_loop over batches).
+    Cached per (sensor, config) so repeated renders reuse the compiled
+    executable."""
+    key = ("bwd", id(sensor), max_depth, float(eps), bool(mis),
+           bool(wave), bool(bdpt), bool(bdpt_fsd))
+    if key in _kernel_cache:
+        return _kernel_cache[key][1]
+    kern = _make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt,
+                               bdpt_fsd)
+    # the sensor reference is kept alive so its id() cannot be recycled
+    _kernel_cache[key] = (sensor, kern)
+    return kern
+
+
+def _make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt,
+                        bdpt_fsd):
 
     @partial(jax.jit, static_argnums=(4, 5, 8), donate_argnums=(1,))
     def kern(data, film, base_key, npix, n_batches, pix_cap, s0, s_count,
@@ -303,8 +325,12 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False,
                 pos, values, ok, (lt_pos, lt_val, lt_ok) = trace_bdpt(
                     data, pxy, jit_u, base_key, sid, sensor=sensor,
                     max_depth=min(max_depth, 16), eps=eps, fsd=bdpt_fsd)
+                # light-tracing splats are flattened per stored light
+                # vertex: V splats per lane
+                V = lt_ok.shape[0] // live.shape[0]
+                lt_live = jnp.repeat(live, V) if V > 1 else live
                 film = film_mod.splat_direct(film, lt_pos, lt_val,
-                                             lt_ok & live)
+                                             lt_ok & lt_live)
             elif wave:
                 pos, values, ok, dstats = trace_paths_wave(
                     data, pxy, jit_u, base_key, sid, sensor=sensor,
@@ -328,7 +354,17 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False,
 
 
 def make_forward_kernel(sensor, max_depth, eps, wave, fsd_mode="utd"):
-    """Jitted forward launch: emit lanes, record plane crossings."""
+    """Jitted forward launch: emit lanes, record plane crossings.
+    Cached like make_render_kernel."""
+    key = ("fwd", id(sensor), max_depth, float(eps), bool(wave), fsd_mode)
+    if key in _kernel_cache:
+        return _kernel_cache[key][1]
+    kern = _make_forward_kernel(sensor, max_depth, eps, wave, fsd_mode)
+    _kernel_cache[key] = (sensor, kern)
+    return kern
+
+
+def _make_forward_kernel(sensor, max_depth, eps, wave, fsd_mode):
 
     @jax.jit
     def kern(data, film, base_key, lane_ids, sids, live):
