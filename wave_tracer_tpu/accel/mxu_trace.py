@@ -44,8 +44,8 @@ _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("WT_MXU_PRECISION", "highest").lower()]
 
-BN = 256   # rays per tile
-BT = 512   # triangles per tile (lane dim of each channel block)
+BN = int(os.environ.get("WT_MXU_BN", 256))   # rays per tile
+BT = int(os.environ.get("WT_MXU_BT", 512))   # tris per tile (lane dim)
 _DEN_EPS = 1e-12
 
 

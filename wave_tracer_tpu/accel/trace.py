@@ -598,7 +598,8 @@ def tris_near_ray(geo: GeoArrays, ro, rd, x0, tan_alpha, zmax, K: int,
 
 
 def tris_near_cone(geo: GeoArrays, ro, rd, env, zmax, K: int,
-                   tile: int = 512, zmin: float = 1e-7):
+                   tile: int = 512, zmin: float = 1e-7,
+                   exclude_tri=None):
     """Triangle set intersecting the elliptic cone envelope — EXACT
     cone-mode intersect (reference ads_t::intersect(cone),
     src/ads/bvh8w.cpp:233-318 with the exact per-triangle test of
@@ -614,6 +615,8 @@ def tris_near_cone(geo: GeoArrays, ro, rd, env, zmax, K: int,
     if T == 0:
         return (jnp.full((N, K), -1, jnp.int32),
                 jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    if exclude_tri is None:
+        exclude_tri = jnp.full((N,), -1, jnp.int32)
     TP = max(tile, ((T + tile - 1) // tile) * tile)
     pad = TP - T
     p0 = jnp.pad(geo.p0, ((0, pad), (0, 0)))
@@ -648,7 +651,8 @@ def tris_near_cone(geo: GeoArrays, ro, rd, env, zmax, K: int,
         C = to_local(jnp.broadcast_to((ta_ + t2)[None], (N, tile, 3)))
         z, _, ok = ci.intersect_cone_tri(x0b, tab, A, B, C, zminb, zmaxb)
         ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        zk = jnp.where(ok & (ids < T), z, jnp.inf)
+        ok = ok & (ids < T) & (ids != exclude_tri[:, None])
+        zk = jnp.where(ok, z, jnp.inf)
         cat_z = jnp.concatenate([bz, zk], axis=1)
         cat_i = jnp.concatenate([bidx, jnp.broadcast_to(ids, zk.shape)],
                                 axis=1)

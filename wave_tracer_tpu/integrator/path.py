@@ -74,7 +74,22 @@ STAT_NULL = 4          # null interactions (region restarts)
 STAT_RR_KILL = 5       # lanes terminated by russian roulette
 STAT_DEPTH_SUM = 6     # Σ completed path depths (mean = /paths)
 STAT_EDGE_HIT = 7      # lanes whose envelope swept ≥1 edge
-N_STATS = 8
+STAT_BALLISTIC = 8     # hybrid traversal: ballistic interactions
+STAT_DIFFUSIVE = 9     # hybrid traversal: diffusive (cone) interactions
+STAT_TRI_HIST0 = 10    # tris-per-cone log2 histogram, 8 bins
+N_TRI_HIST = 8         # bins: 0, 1, 2, 3-4, 5-8, 9-16, 17-32, 33+
+N_STATS = STAT_TRI_HIST0 + N_TRI_HIST
+
+
+def tri_hist_bin(count):
+    """Log2 bin index of a tris-per-cone count (reference
+    ads_stats.hpp:78-86 tris-per-cone histogram)."""
+    c = jnp.maximum(count, 0)
+    return jnp.minimum(
+        jnp.where(c == 0, 0,
+                  1 + jnp.ceil(jnp.log2(jnp.maximum(
+                      c.astype(jnp.float32), 1.0))).astype(jnp.int32)),
+        N_TRI_HIST - 1)
 
 
 def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,

@@ -23,16 +23,20 @@ import jax.numpy as jnp
 
 from wave_tracer_tpu.accel import edges as edges_mod
 from wave_tracer_tpu.accel import trace as trace_mod
+from wave_tracer_tpu.integrator import traversal as traversal_mod
 from wave_tracer_tpu.bsdf import device as bsdf_dev
 from wave_tracer_tpu.emitter import table as etab
-from wave_tracer_tpu.integrator.path import (N_STATS, STAT_DEPTH_SUM,
+from wave_tracer_tpu.integrator.path import (N_STATS, STAT_BALLISTIC,
+                                             STAT_DEPTH_SUM,
+                                             STAT_DIFFUSIVE,
                                              STAT_EDGE_HIT, STAT_FSD,
                                              STAT_NULL, STAT_RAYS,
                                              STAT_RR_KILL, STAT_SHADOW,
-                                             STAT_SURFACE, _emitter_pmf,
-                                             _perp_axis, _power_heuristic,
+                                             STAT_SURFACE, STAT_TRI_HIST0,
+                                             _emitter_pmf, _perp_axis,
+                                             _power_heuristic,
                                              _sample_emitter_by_power,
-                                             compose_scatter)
+                                             compose_scatter, tri_hist_bin)
 from wave_tracer_tpu.math import frame as frame_mod
 from wave_tracer_tpu.math import vec
 from wave_tracer_tpu.polarization import stokes
@@ -119,9 +123,19 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
         hit_ok = lane & hit.valid
 
         env = st["env"]
-        # ---- edge sweep inside the beam envelope (major-axis radius)
         zmax = jnp.where(hit.valid, hit.t * 1.02 + env.x0,
                          8.0 * et.scene_radius)
+
+        # ---- hybrid ballistic/diffusive traversal (reference
+        # traversal.hpp:39-161 as a closed-form schedule over ONE exact
+        # cone-triangle set sweep)
+        tidx, tz, tcnt = trace_mod.tris_near_cone(
+            geo, st["ro"], st["rd"], env, zmax, K,
+            exclude_tri=st["exclude"])
+        lam = (2.0 * math.pi) / jnp.maximum(k, 1e-9)
+        tr = traversal_mod.schedule(hit.t, hit.valid, tz, env, lam, zmax)
+
+        # ---- edge sweep inside the beam envelope (FSD aperture feed)
         if fsd and edge_table.count > 0:
             if edge_table.count > 2048:
                 eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
@@ -135,19 +149,19 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
             eidx = jnp.full((N, K), -1, jnp.int32)
             ez = jnp.full((N, K), jnp.inf)
             ecnt = jnp.zeros((N,), jnp.int32)
-
         have_edges = ecnt > 0
-        z_first = jnp.where(have_edges, jnp.min(ez, axis=1), BIG)
-        # footprint region half-depth at the relevant distance
-        fp_hit = env.major(jnp.where(hit.valid, hit.t, 0.0))
-        delta_hit = jnp.maximum(Z_SCALE * fp_hit, 4.0 * eps)
-        # does the earliest edge cluster precede the surface hit?
-        midflight = have_edges & (z_first < jnp.where(hit.valid,
-                                                      hit.t - delta_hit,
-                                                      BIG))
-        surface = hit_ok & ~midflight
-        # interaction point
-        z_int = jnp.where(surface, hit.t, z_first)
+
+        # surface interaction: ballistic hits always; diffusive regions
+        # when the central-ray hit falls inside the interaction region
+        # (reference find_closest_triangle, plt_path_detail.hpp:616-652)
+        delta = traversal_mod.region_depth(env, tr.z_region)
+        tol = jnp.maximum(4.0 * eps, 1e-3 * tr.z_region)
+        in_region = hit.valid & (hit.t <= tr.z_region + delta + tol)
+        surface = (tr.ballistic & hit.valid) | (tr.diffusive & in_region)
+        # diffusive regions with no triangle under the central ray are
+        # midflight interactions (FSD through the aperture, or null)
+        midflight = tr.diffusive & ~surface
+        z_int = jnp.where(surface, hit.t, tr.z_region)
         has_interaction = lane & (surface | midflight)
         wp = st["ro"] + z_int[:, None] * st["rd"]
         fp_int = env.major(z_int)
@@ -347,6 +361,13 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
             stats = stats.at[STAT_DEPTH_SUM].add(active.sum(dtype=f32))
             stats = stats.at[STAT_EDGE_HIT].add(
                 (lane & have_edges).sum(dtype=f32))
+            stats = stats.at[STAT_BALLISTIC].add(
+                (lane & tr.ballistic).sum(dtype=f32))
+            stats = stats.at[STAT_DIFFUSIVE].add(
+                (lane & tr.diffusive).sum(dtype=f32))
+            # tris-per-cone histogram (reference ads_stats.hpp:78-86)
+            stats = stats.at[STAT_TRI_HIST0 + tri_hist_bin(tcnt)].add(
+                lane.astype(f32))
 
         def sel(new, old):
             br = active

@@ -1,16 +1,22 @@
 """plt_path forward transport — light tracing onto virtual sensors.
 
 Reference include/wt/integrator/plt_path/plt_path_detail.hpp:804-828
-(integrate_forward) and :513-540 (sensing): beams start at emitters; when
-a segment sweeps past a virtual coverage sensor the beam is connected
-directly onto the sensor element (`Si`), through the thread-safe
+(integrate_forward), :513-540 (sensing) and :469-510 (nee_forward): beams
+start at emitters; when a segment sweeps past a virtual coverage sensor
+the beam is connected directly onto the sensor element (`Si`), and every
+free-space-diffraction aperture additionally makes an explicit FSD-NEE
+connection to a sampled sensor point, both through the thread-safe
 light-image splat path. The deferred free-space-diffraction carry
 modulates each connection with the coherent per-edge UTD sum — this is
 where interference fringes (double-slit) and multipath fading (coverage
 maps) appear.
 
-Scalar-intensity transport (the virtual-plane responses are
-non-polarimetric); lanes carry the beam weight in W/(rad/m) per path.
+Transport is polarimetric: forward beams carry a full Stokes vector with
+its transverse frame (reference beam.hpp:31-248 forward beams carry
+stokes_parameters_t); surface scatters apply the frame-aware Mueller
+operator. The deferred coherent UTD sum is applied as a scalar intensity
+factor on the Stokes vector (the reference resolves it into the edge S/P
+basis per connection — documented approximation).
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ from wave_tracer_tpu.integrator.path import (_perp_axis,
                                              _sample_emitter_by_power)
 from wave_tracer_tpu.math import frame as frame_mod
 from wave_tracer_tpu.math import vec
+from wave_tracer_tpu.polarization import stokes
 from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.wave import beam as beam_geo
 from wave_tracer_tpu.wave import envelope as env_mod
@@ -36,6 +43,24 @@ BIG = 1e30
 Z_SCALE = 2.0
 
 
+def forward_scatter(S, xf, d_in, d_out, Mw):
+    """Apply a BSDF Mueller operator to a forward Stokes vector.
+
+    Mw is expressed in the S/P basis of the scattering plane (d_in,
+    d_out); S is given w.r.t. transverse axis xf ⊥ d_in. Returns
+    (S', xf') with xf' the scattering-plane s-axis (⊥ d_out too) —
+    the forward counterpart of path.compose_scatter (reference
+    mueller.hpp M(S, frames...))."""
+    s_axis = jnp.cross(d_in, d_out)
+    slen = jnp.linalg.norm(s_axis, axis=-1, keepdims=True)
+    degen = slen[..., 0] < 1e-7
+    s_axis = jnp.where(degen[..., None], _perp_axis(d_in),
+                       s_axis / jnp.maximum(slen, 1e-12))
+    S_in = stokes.reorient(S, xf, s_axis, d_in)
+    S_out = jnp.einsum("nij,nj->ni", Mw, S_in)
+    return S_out, s_axis
+
+
 def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                   edge_table, max_depth: int = 8, rr_depth: int = 3,
                   rr_floor: float = 0.5, eps: float = 1e-5,
@@ -44,7 +69,9 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
 
     Each lane emits one beam and records its first virtual-plane crossing
     (beams rarely cross the plane twice; the carried accumulator keeps the
-    first). Returns (splat_pos (N, 2), values (N, C), valid) for the
+    first) plus one FSD-NEE connection per bounce. Returns
+    (splat_pos (N, 2), values (N, C), valid, sig (N,),
+     (nee_pos (N·D, 2), nee_val (N·D, C), nee_ok (N·D,))) for the
     direct-splat film path.
 
     fsd_mode selects the diffraction model: "utd" — the plt_path deferred
@@ -61,6 +88,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
     sp = data.spectral
     N = lane_ids.shape[0]
     utd = fsd_mode != "fraunhofer"
+    polarimetric = bool(getattr(sensor, "polarimetric", False))
 
     keys = rng.sample_key(base_key, lane_ids, sample_ids)
 
@@ -78,6 +106,9 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                            axis=-1)
     em = etab.sample_emission(et, geo, tables.spectra, e0, k, u_em)
     W_sens = sensor.importance()
+    plane_o, plane_xa, plane_ya, plane_n = [
+        jnp.asarray(v, jnp.float32) for v in sensor.plane_basis()]
+    plane_area = float(sensor.extent[0] * sensor.extent[1])
 
     # beam envelope sourcing from the emitter's phase-space scale
     pse = et.pse_scale[e0]
@@ -89,10 +120,12 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
     se_mub, ta_mub = beam_geo.make_mub(jnp.zeros((N,)), ta0, k)
     x0_0 = jnp.sqrt(jnp.maximum(se_mub, 0.0))
 
+    D = max_depth
     state = dict(
         ro=em["y"], rd=em["wo"],
-        w=em["weight"] * w_spectral,
-        acc=jnp.zeros((N,), jnp.float32),       # accumulated splat value
+        S=stokes.unpolarized(em["weight"] * w_spectral),  # (N, 4)
+        xf=_perp_axis(em["wo"]),
+        acc=jnp.zeros((N, 4), jnp.float32),     # crossing Stokes splat
         pos=jnp.zeros((N, 2), jnp.float32),     # splat element position
         sig=jnp.full((N,), 0.25, jnp.float32),  # splat σ in elements
         hit_plane=jnp.zeros((N,), bool),
@@ -105,45 +138,41 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         fsd_valid=jnp.zeros((N,), bool),
         sampled_fsd=jnp.zeros((N,), bool),
         prev_vert=em["y"],
-        w_prev=jnp.zeros((N,), jnp.float32),
+        S_prev=jnp.zeros((N, 4), jnp.float32),
+        # FSD-NEE records, one per depth (nee_forward,
+        # plt_path_detail.hpp:469-510)
+        nee_pos=jnp.zeros((N, D, 2), jnp.float32),
+        nee_val=jnp.zeros((N, D, 4), jnp.float32),
+        nee_ok=jnp.zeros((N, D), bool),
     )
 
-    def shadow_pt(a, b, ex1, ex2):
-        d = b - a
-        dist = jnp.linalg.norm(d, axis=-1)
-        dn = d / jnp.maximum(dist, 1e-20)[:, None]
-        return trace_mod.occluded(geo, a, dn, jnp.full((N,), eps),
-                                  dist - 2.0 * eps, ex1, ex2)
-
-    def fsd_factor(st, dst, hit_tri):
-        """Coherent modulation of the segment prev_vert→dst; all edge-leg
-        and direct shadow rays batched into one trace call."""
-        ev = fsd_mod.fsd_eval(st["fsd_ap"], k, st["prev_vert"], dst)
-        src_e = jnp.broadcast_to(st["prev_vert"][:, None, :], (N, K, 3))
+    def fsd_legs(ev, src, dst, hit_tri):
+        """Shadow-segment block for one coherent-sum evaluation:
+        (a_pts, b_pts, ex2) of 2K+1 segments per lane."""
+        src_e = jnp.broadcast_to(src[:, None, :], (N, K, 3))
         dst_e = jnp.broadcast_to(dst[:, None, :], (N, K, 3))
         a_pts = jnp.concatenate([src_e.reshape(-1, 3),
-                                 ev["p"].reshape(-1, 3),
-                                 st["prev_vert"]], axis=0)
+                                 ev["p"].reshape(-1, 3), src], axis=0)
         b_pts = jnp.concatenate([ev["p"].reshape(-1, 3),
                                  dst_e.reshape(-1, 3), dst], axis=0)
         ex2 = jnp.concatenate([
             jnp.full((N * K,), -1, jnp.int32),
             jnp.broadcast_to(hit_tri[:, None], (N, K)).reshape(-1),
             hit_tri], axis=0)
-        seg = b_pts - a_pts
-        seg_d = jnp.linalg.norm(seg, axis=-1)
-        seg_n = seg / jnp.maximum(seg_d, 1e-20)[:, None]
-        occ_all = trace_mod.occluded(
-            geo, a_pts, seg_n, jnp.full((a_pts.shape[0],), eps),
-            seg_d - 2.0 * eps,
-            jnp.full((a_pts.shape[0],), -1, jnp.int32), ex2)
-        unshadowed = ~occ_all[:N * K].reshape(N, K) \
-            & ~occ_all[N * K:2 * N * K].reshape(N, K)
-        direct_vis = st["fsd_valid"] & ~occ_all[2 * N * K:]
-        ts, th = fsd_mod.coherent_sum(ev, k, st["prev_vert"], dst,
-                                      direct_vis, unshadowed)
+        return a_pts, b_pts, ex2
+
+    def coherent_f(ev, occ_block, src, dst, ap_valid):
+        """Coherent UTD intensity for one evaluation given its occlusion
+        slice (2K+1 segments per lane)."""
+        s1 = occ_block[:N * K].reshape(N, K)
+        s2 = occ_block[N * K:2 * N * K].reshape(N, K)
+        occ_direct = occ_block[2 * N * K:]
+        unshadowed = ~s1 & ~s2
+        direct_vis = ap_valid & ~occ_direct
+        ts, th = fsd_mod.coherent_sum(ev, k, src, dst, direct_vis,
+                                      unshadowed)
         f = fsd_mod.fsd_intensity(ts, th)
-        return jnp.where(st["fsd_valid"] & jnp.isfinite(f), f, 1.0)
+        return jnp.where(ap_valid & jnp.isfinite(f), f, 1.0)
 
     def body(depth, st):
         dkeys = rng.depth_key(keys, depth)
@@ -186,43 +215,116 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         wp = st["ro"] + z_int[:, None] * st["rd"]
         fp_int = env.major(z_int)
 
-        # ---- sensing: does this segment cross the virtual plane?
+        # ---- sensing geometry: does this segment cross the plane?
         tpl, pxy, inside, cos_in = sensor.intersect(st["ro"], st["rd"])
         crosses = lane & inside & (tpl > eps) \
             & (tpl < jnp.minimum(seg_end, z_int + delta_hit)) \
             & (cos_in > 0)
         plane_p = st["ro"] + tpl[:, None] * st["rd"]
-        f_seg = fsd_factor(st, plane_p, hit.tri) if (fsd and utd) \
-            else jnp.ones((N,))
-        contrib = st["w"] * W_sens * f_seg
-        # record first crossing only; splat σ = wavefront σ (envelope/3)
-        # expressed in sensor elements (reference Si Gaussian integration)
+
+        # ---- aperture for this interaction (needed by FSD-NEE below)
+        if fsd and utd:
+            ap_now = fsd_mod.build_aperture(
+                edge_table, eidx, wp, -st["rd"], Z_SCALE * fp_int)
+        else:
+            ap_now = fsd_mod.empty_aperture(N, K)
+
+        # ---- FSD-NEE target: a sampled sensor point (reference
+        # virtual_plane sample_direct, virtual_plane_sensor.cpp:136-160)
+        u_sn = rng.uniform(dkeys, rng.D_SENSOR, 2)
+        sp_pt, sp_pxy, _, _ = sensor.sample_point(u_sn)
+        nee_dir = sp_pt - wp
+        nee_dist = jnp.linalg.norm(nee_dir, axis=-1)
+        nee_dirn = nee_dir / jnp.maximum(nee_dist, 1e-20)[:, None]
+        nee_cos = -vec.dot(nee_dirn, jnp.broadcast_to(plane_n, (N, 3)))
+
+        # ---- ALL coherent-sum shadow segments batched into ONE
+        # traversal: (a) crossing modulation, (b) continuing-beam
+        # modulation, (c) FSD-NEE through the new aperture
+        if fsd and utd:
+            dst_seg = jnp.where(has_interaction[:, None], wp,
+                                st["ro"] + (4.0 * data.emitters.
+                                            scene_radius) * st["rd"])
+            ev_cross = fsd_mod.fsd_eval(st["fsd_ap"], k, st["prev_vert"],
+                                        plane_p)
+            ev_cont = fsd_mod.fsd_eval(st["fsd_ap"], k, st["prev_vert"],
+                                       dst_seg)
+            ev_nee = fsd_mod.fsd_eval(ap_now, k, st["ro"], sp_pt)
+            blocks = [fsd_legs(ev_cross, st["prev_vert"], plane_p,
+                               hit.tri),
+                      fsd_legs(ev_cont, st["prev_vert"], dst_seg,
+                               hit.tri),
+                      fsd_legs(ev_nee, st["ro"], sp_pt,
+                               jnp.full((N,), -1, jnp.int32))]
+            a_all = jnp.concatenate([b[0] for b in blocks], axis=0)
+            b_all = jnp.concatenate([b[1] for b in blocks], axis=0)
+            ex2_all = jnp.concatenate([b[2] for b in blocks], axis=0)
+            seg = b_all - a_all
+            seg_d = jnp.linalg.norm(seg, axis=-1)
+            seg_n = seg / jnp.maximum(seg_d, 1e-20)[:, None]
+            occ_all = trace_mod.occluded(
+                geo, a_all, seg_n, jnp.full((a_all.shape[0],), eps),
+                seg_d - 2.0 * eps,
+                jnp.full((a_all.shape[0],), -1, jnp.int32), ex2_all)
+            M = N * (2 * K + 1)
+            f_cross = coherent_f(ev_cross, occ_all[:M], st["prev_vert"],
+                                 plane_p, st["fsd_valid"])
+            f_cont = coherent_f(ev_cont, occ_all[M:2 * M],
+                                st["prev_vert"], dst_seg,
+                                st["fsd_valid"])
+            ap_nee_ok = ap_now.any_valid()
+            f_nee = coherent_f(ev_nee, occ_all[2 * M:], st["ro"], sp_pt,
+                               ap_nee_ok)
+        else:
+            f_cross = jnp.ones((N,))
+            f_cont = jnp.ones((N,))
+            f_nee = jnp.zeros((N,))
+            ap_nee_ok = jnp.zeros((N,), bool)
+
+        def deferred(Scur, Sprev, f):
+            """Two-beam deferred superposition (plt_path_detail:591-610)."""
+            return jnp.where(
+                st["fsd_valid"][:, None],
+                jnp.where(st["sampled_fsd"][:, None],
+                          Scur * f[:, None], Scur + Sprev * f[:, None]),
+                Scur)
+
+        # ---- crossing splat (first crossing per lane)
+        S_cross = deferred(st["S"], st["S_prev"], f_cross)
+        # reorient into the plane's transverse frame for Q/U consistency
+        px_perp = plane_xa - vec.dot(plane_xa, st["rd"])[:, None] \
+            * st["rd"]
+        px_perp = vec.normalize(px_perp, eps=1e-12)
+        S_cross = stokes.reorient(S_cross, st["xf"], px_perp, st["rd"])
+        contrib = S_cross * W_sens
         newly = crosses & ~st["hit_plane"]
         elem_m = sensor.extent[0] / sensor.width
         # anisotropy-aware: isotropic-equivalent radius sqrt(major*minor)
         fp_pl = env.area_radius(tpl)
         sig_el = (fp_pl / 3.0) / elem_m
-        acc = jnp.where(newly, contrib, st["acc"])
+        acc = jnp.where(newly[:, None], contrib, st["acc"])
         pos = jnp.where(newly[:, None], pxy, st["pos"])
         sig = jnp.where(newly, sig_el, st["sig"])
         hit_plane = st["hit_plane"] | crosses
 
-        # ---- deferred FSD modulation for the continuing beam (UTD only;
-        # the Fraunhofer model bakes coherence into the scatter draws)
-        if fsd and utd:
-            dst_seg = jnp.where(has_interaction[:, None], wp,
-                                st["ro"] + (4.0 * data.emitters.
-                                            scene_radius) * st["rd"])
-            f_mod = fsd_factor(st, dst_seg, hit.tri)
-            w_cur = jnp.where(st["fsd_valid"],
-                              jnp.where(st["sampled_fsd"],
-                                        st["w"] * f_mod,
-                                        st["w"] + st["w_prev"] * f_mod),
-                              st["w"])
-        else:
-            w_cur = st["w"]
+        # ---- FSD-NEE splat (reference nee_forward: connection weight
+        # W·f·A/dist², visibility inside the coherent sum)
+        S_int = deferred(st["S"], st["S_prev"], f_cont)
+        nee_w = f_nee * W_sens * plane_area \
+            / jnp.maximum(nee_dist * nee_dist, 1e-12)
+        nx_perp = plane_xa - vec.dot(plane_xa, nee_dirn)[:, None] \
+            * nee_dirn
+        nx_perp = vec.normalize(nx_perp, eps=1e-12)
+        S_nee = stokes.reorient(S_int, st["xf"], nx_perp, nee_dirn) \
+            * nee_w[:, None]
+        ok_nee = has_interaction & ap_nee_ok & (nee_cos > 0) \
+            & (f_nee > 0) & jnp.isfinite(nee_w) & jnp.asarray(fsd & utd)
+        nee_pos = st["nee_pos"].at[:, depth].set(sp_pxy)
+        nee_val = st["nee_val"].at[:, depth].set(
+            jnp.where(ok_nee[:, None], S_nee, 0.0))
+        nee_ok = st["nee_ok"].at[:, depth].set(ok_nee)
 
-        # ---- surface interaction (scalar weight: M00 of the sampled bsdf)
+        # ---- surface interaction (frame-aware Mueller on the Stokes)
         sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
         sf = bsdf_dev.apply_normalmap(tables, hit.mat_id, hit.uv, k, sf)
         wi_l = sf.to_local(-st["rd"])
@@ -231,15 +333,14 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             rng.uniform(dkeys, rng.D_BSDF_DIR, 2)], axis=-1)
         bs = bsdf_dev.sample(tables, hit.mat_id, wi_l, hit.uv, k, u_b)
         wo_surface = sf.to_world(bs.wo)
-        w_surf = w_cur * jnp.abs(bs.Mw[:, 0, 0])
+        S_surf, xf_surf = forward_scatter(S_int, st["xf"], st["rd"],
+                                          wo_surface, bs.Mw)
         # new elliptic envelope through the projected footprint ellipse
         env_surf, _sid = env_mod.surface_scatter(
             env, st["rd"], z_int, hit.geo_n, wo_surface, bs.specular, k)
 
         # ---- FSD interaction
         if fsd and utd:
-            ap_now = fsd_mod.build_aperture(
-                edge_table, eidx, wp, -st["rd"], Z_SCALE * fp_int)
             u_fsd = jnp.concatenate(
                 [rng.uniform(dkeys, rng.D_FSD, 2),
                  rng.uniform(dkeys, rng.D_PHASE, 2)], axis=-1)
@@ -253,7 +354,6 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             # Fraunhofer ASF interaction (plt_bdpt_detail.hpp:286-346):
             # power-preserving redirection, direction ~ coherent ASF
             from wave_tracer_tpu.integrator.plt_bdpt import M_RIS
-            ap_now = fsd_mod.empty_aperture(N, K)
             sigma = jnp.maximum(fp_int, 1e-9) / beam_geo.ENVELOPE
             fx = _perp_axis(st["rd"])
             fy = jnp.cross(st["rd"], fx)
@@ -274,7 +374,6 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             w_fsd_scale = jnp.ones((N,))
             fsd_lane = midflight & fsmp["valid"]
         else:
-            ap_now = fsd_mod.empty_aperture(N, K)
             fsmp = dict(wo=st["rd"], p=wp,
                         is_direct=jnp.ones((N,), bool),
                         pdf=jnp.ones((N,)),
@@ -289,8 +388,12 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         rd_new = jnp.where(surface[:, None], wo_surface,
                            jnp.where(fsd_lane[:, None], fsmp["wo"],
                                      st["rd"]))
-        w_new = jnp.where(surface, w_surf,
-                          w_cur * jnp.where(fsd_lane, w_fsd_scale, 1.0))
+        S_new = jnp.where(
+            surface[:, None], S_surf,
+            S_int * jnp.where(fsd_lane, w_fsd_scale, 1.0)[:, None])
+        xf_new = jnp.where(surface[:, None], xf_surf,
+                           jnp.where(fsd_lane[:, None],
+                                     _perp_axis(rd_new), st["xf"]))
         exclude_new = jnp.where(surface, hit.tri, st["exclude"])
         env_fsd = env_mod.EnvState(
             x=_perp_axis(rd_new), x0=jnp.full((N,), 1e-6),
@@ -307,14 +410,16 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             & ap_now.any_valid()
 
         u_rr = rng.uniform(dkeys, rng.D_RR)
-        q = jnp.clip(w_new / jnp.maximum(st["w"], 1e-30), rr_floor, 1.0)
+        I_new = jnp.abs(S_new[:, 0])
+        q = jnp.clip(I_new / jnp.maximum(jnp.abs(st["S"][:, 0]), 1e-30),
+                     rr_floor, 1.0)
         do_rr = (depth >= rr_depth) & ~null_lane
         survive = jnp.where(do_rr, u_rr < q, True)
-        w_new = w_new / jnp.where(do_rr, q, 1.0)
+        S_new = S_new / jnp.where(do_rr, q, 1.0)[:, None]
 
         cont = (surface & bs.valid) | fsd_lane | null_lane
-        active = lane & cont & survive & (w_new > 1e-25) & jnp.isfinite(
-            w_new)
+        active = lane & cont & survive & (jnp.abs(S_new[:, 0]) > 1e-25) \
+            & jnp.isfinite(S_new[:, 0])
 
         def sel(new, old):
             br = active
@@ -324,7 +429,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
 
         return dict(
             ro=sel(ro_new, st["ro"]), rd=sel(rd_new, st["rd"]),
-            w=sel(w_new, st["w"]),
+            S=sel(S_new, st["S"]), xf=sel(xf_new, st["xf"]),
             acc=acc, pos=pos, sig=sig, hit_plane=hit_plane,
             active=active,
             exclude=sel(exclude_new, st["exclude"]),
@@ -339,11 +444,29 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             # (the deferred coherent sum runs from the segment ORIGIN —
             # the beam arriving at the aperture — reference
             # plt_path_detail.hpp:72 prev_vert_beam saved pre-transform)
-            w_prev=sel(w_cur, st["w_prev"]),
+            S_prev=sel(S_int, st["S_prev"]),
+            nee_pos=nee_pos, nee_val=nee_val, nee_ok=nee_ok,
         )
 
     state = jax.lax.fori_loop(0, max_depth, body, state)
 
     sens = sensor.response.sensitivities(k, tables.spectra, None)
-    values = state["acc"][:, None] * sens
-    return state["pos"], values, state["hit_plane"], state["sig"]
+
+    def to_channels(S4):
+        """Stokes (N, ..., 4) → film channels (N, ..., C or C*4);
+        polarimetric films interleave I/Q/U/V per channel exactly like
+        the backward kernels."""
+        s = sens
+        while s.ndim < S4.ndim:
+            s = s[:, None]
+        if polarimetric:
+            out = S4[..., None, :] * s[..., None]       # (..., C, 4)
+            return out.reshape(S4.shape[:-1] + (-1,))
+        return S4[..., 0:1] * s
+
+    values = to_channels(state["acc"])
+    nee_val = to_channels(state["nee_val"]).reshape(N * max_depth, -1)
+    nee_pos = state["nee_pos"].reshape(N * max_depth, 2)
+    nee_ok = state["nee_ok"].reshape(N * max_depth)
+    return (state["pos"], values, state["hit_plane"], state["sig"],
+            (nee_pos, nee_val, nee_ok))

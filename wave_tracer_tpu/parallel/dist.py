@@ -102,12 +102,17 @@ def sharded_forward_step(mesh: Mesh, sensor, max_depth: int, eps: float,
     over the DP axis, direct-splat light image psum-merged."""
 
     def local_step(data, film, base_key, lane_ids, sids, live):
-        pos, values, ok, sig = trace_forward(
+        pos, values, ok, sig, nee = trace_forward(
             data, lane_ids, base_key, sids, sensor=sensor,
             edge_table=data.edges, max_depth=max_depth, eps=eps,
             fsd=fsd, fsd_mode=fsd_mode)
         local = film_mod.splat_direct_gaussian(
             _zero_like_film(film), pos, sig, values, ok & live)
+        nee_pos, nee_val, nee_ok = nee
+        rep = nee_ok.shape[0] // live.shape[0]
+        nee_live = jnp.repeat(live, rep) if rep > 1 else live
+        local = film_mod.splat_direct(local, nee_pos, nee_val,
+                                      nee_ok & nee_live)
         return _merge_psum(film, local, axis)
 
     shmapped = shard_map(

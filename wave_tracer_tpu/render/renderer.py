@@ -196,7 +196,8 @@ class Renderer:
         built = self.built
         scene = built.scene
         W, H = sensor.width, sensor.height
-        C = sensor.response.channels
+        C = sensor.response.channels \
+            * (4 if getattr(sensor, "polarimetric", False) else 1)
         film = init_film if init_film is not None \
             else film_mod.make_film(W, H, C, sensor.rfilter_sigma)
         base_key = rng.make_base_key(self.seed)
@@ -243,8 +244,9 @@ def _record_device_stats(vec):
     (reference stat_collector_registry.hpp:40-76 behaviour) and return it
     as a dict."""
     from wave_tracer_tpu.integrator.path import (
-        STAT_DEPTH_SUM, STAT_EDGE_HIT, STAT_FSD, STAT_NULL, STAT_RAYS,
-        STAT_RR_KILL, STAT_SHADOW, STAT_SURFACE)
+        N_TRI_HIST, STAT_BALLISTIC, STAT_DEPTH_SUM, STAT_DIFFUSIVE,
+        STAT_EDGE_HIT, STAT_FSD, STAT_NULL, STAT_RAYS, STAT_RR_KILL,
+        STAT_SHADOW, STAT_SURFACE, STAT_TRI_HIST0)
     from wave_tracer_tpu.util import stats as stats_mod
     names = {
         "rays_cast": STAT_RAYS, "shadow_rays": STAT_SHADOW,
@@ -253,6 +255,8 @@ def _record_device_stats(vec):
         "rr_terminations": STAT_RR_KILL,
         "sum_path_depth": STAT_DEPTH_SUM,
         "edge_sweep_hits": STAT_EDGE_HIT,
+        "ballistic_traversals": STAT_BALLISTIC,
+        "diffusive_traversals": STAT_DIFFUSIVE,
     }
     out = {}
     reg = stats_mod.registry
@@ -260,6 +264,13 @@ def _record_device_stats(vec):
         v = float(vec[idx])
         out[name] = v
         reg.counter(f"integrator/{name}").add(v)
+    # tris-per-cone log2 histogram (reference ads_stats.hpp:78-86)
+    hist = [float(vec[STAT_TRI_HIST0 + i]) for i in range(N_TRI_HIST)]
+    if any(hist):
+        out["tris_per_cone_hist"] = hist
+        h = reg.histogram("ads/tris_per_cone")
+        for i, c in enumerate(hist):
+            h.add_count(i, c)
     return out
 
 
@@ -368,12 +379,18 @@ def _make_forward_kernel(sensor, max_depth, eps, wave, fsd_mode):
 
     @jax.jit
     def kern(data, film, base_key, lane_ids, sids, live):
-        pos, values, ok, sig = trace_forward(
+        pos, values, ok, sig, nee = trace_forward(
             data, lane_ids, base_key, sids, sensor=sensor,
             edge_table=data.edges, max_depth=max_depth, eps=eps,
             fsd=wave, fsd_mode=fsd_mode)
-        return film_mod.splat_direct_gaussian(film, pos, sig, values,
+        film = film_mod.splat_direct_gaussian(film, pos, sig, values,
                                               ok & live)
+        # FSD-NEE connections: one per (lane, depth), point splats
+        nee_pos, nee_val, nee_ok = nee
+        rep = nee_ok.shape[0] // live.shape[0]
+        nee_live = jnp.repeat(live, rep) if rep > 1 else live
+        return film_mod.splat_direct(film, nee_pos, nee_val,
+                                     nee_ok & nee_live)
 
     return kern
 

@@ -47,6 +47,21 @@ class VirtualPlaneSensor:
         """W = 1/(π·A_element) (virtual_plane_sensor.hpp:165-170)."""
         return 1.0 / (math.pi * self.element_area())
 
+    def sample_point(self, u2):
+        """Uniformly sample a point on the plane (reference
+        virtual_plane_sensor.cpp:136-160 sample_direct): returns
+        (sp (N, 3) world, pixel_xy (N, 2) element coords, area (scalar),
+        normal (3,))."""
+        o, xa, ya, n = [jnp.asarray(v, jnp.float32)
+                        for v in self.plane_basis()]
+        ex, ey = self.extent
+        lx = (u2[..., 0] - 0.5) * ex
+        ly = (u2[..., 1] - 0.5) * ey
+        sp = o + lx[..., None] * xa + ly[..., None] * ya
+        px = u2[..., 0] * self.width
+        py = (1.0 - u2[..., 1]) * self.height
+        return sp, jnp.stack([px, py], axis=-1), float(ex * ey), n
+
     def intersect(self, ro, rd):
         """Ray ∩ plane: returns (t (N,), pixel_xy (N,2), inside (N,),
         cos_in (N,)). Used by forward transport to connect beams."""

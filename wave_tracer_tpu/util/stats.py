@@ -56,6 +56,12 @@ class Histogram:
             b = min(int(math.log(value, self.base)) + 1, self.n_bins - 1)
         self.counts[b] += n
 
+    def add_count(self, bin_idx, n=1):
+        """Accumulate directly into a bin (device-side histograms hand
+        back already-binned counts)."""
+        b = min(max(int(bin_idx), 0), self.n_bins - 1)
+        self.counts[b] += n
+
     def report(self):
         return list(self.counts)
 
