@@ -21,6 +21,7 @@ pytestmark = pytest.mark.skipif(
 def test_bdpt_matches_path_mean():
     scene = make_box_scene(res=24, spp=16)
     scene.integrator.fsd = False
+    scene.integrator.max_depth = 16       # the reference box runs 16
     built = build_scene(scene)
 
     scene.integrator.type = "plt_path"
@@ -33,9 +34,11 @@ def test_bdpt_matches_path_mean():
 
     assert np.isfinite(img_b).all()
     ratio = img_b.mean() / img_p.mean()
-    assert 0.8 < ratio < 1.25, f"bdpt/path mean ratio {ratio}"
+    # exact-pdf MIS chains agree to ~1% at depth 16 (measured 1.007);
+    # the bound leaves room for MC noise only
+    assert 0.95 < ratio < 1.06, f"bdpt/path mean ratio {ratio}"
     corr = np.corrcoef(img_p.ravel(), img_b.ravel())[0, 1]
-    assert corr > 0.99
+    assert corr > 0.995
 
 
 def test_bdpt_fsd_energy_sane():

@@ -44,7 +44,10 @@ _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("WT_MXU_PRECISION", "highest").lower()]
 
-BN = int(os.environ.get("WT_MXU_BN", 256))   # rays per tile
+# tile shape: swept on the v5e chip (scripts/mxu_tile_sweep.py) — trace
+# time is flat in (BN, BT) within 2% from 256x512 to 1024x1024; 512x512
+# measured marginally best
+BN = int(os.environ.get("WT_MXU_BN", 512))   # rays per tile
 BT = int(os.environ.get("WT_MXU_BT", 512))   # tris per tile (lane dim)
 _DEN_EPS = 1e-12
 

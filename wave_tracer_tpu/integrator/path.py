@@ -95,7 +95,8 @@ def tri_hist_bin(count):
 def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
                 sensor, max_depth: int = 8, rr_depth: int = 3,
                 rr_floor: float = 0.5, eps: float = 1e-5,
-                mis: bool = True, with_stats: bool = False):
+                mis: bool = True, with_stats: bool = False,
+                debug_buckets: bool = False):
     """Trace one batch of backward paths.
 
     data: SceneData. pixel_xy (N, 2) i32; jitter (N, 2); sample_ids (N,).
@@ -136,6 +137,9 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
         prev_pdf=jnp.zeros((N,), jnp.float32),
         prev_specular=jnp.ones((N,), bool),   # depth 0 counts as specular
         stats=jnp.zeros((N_STATS,), jnp.float32),
+        # intensity sums per (depth, {emission, nee}) for estimator
+        # cross-audits (debug_buckets)
+        dbg=jnp.zeros((max_depth, 2), jnp.float32),
     )
 
     def contribution(M, Li):
@@ -169,9 +173,11 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
         w_mis_e = jnp.where(st["prev_specular"] | (~jnp.asarray(mis)),
                             1.0,
                             _power_heuristic(st["prev_pdf"], pdf_nee_same))
-        L = st["L"] + jnp.where((lane & (Le > 0))[:, None],
-                                w_mis_e[..., None]
-                                * contribution(st["M"], Le), 0.0)
+        dL_e = jnp.where((lane & (Le > 0))[:, None],
+                         w_mis_e[..., None] * contribution(st["M"], Le),
+                         0.0)
+        L = st["L"] + dL_e
+        dbg = st["dbg"].at[depth, 0].add(dL_e[:, 0].sum())
 
         # --- NEE
         u_pick = rng.uniform(dkeys, rng.D_EMITTER_PICK)
@@ -195,8 +201,10 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
             / jnp.maximum(pdf_nee, 1e-30)[:, None]
         ok_nee = lane & nee["valid"] & (~occ) & (pdf_nee > 0) \
             & (f_nee[:, 0, 0] > 0)
-        L = L + jnp.where(ok_nee[:, None],
-                          jnp.asarray(w_mis_n)[..., None] * c_nee, 0.0)
+        dL_n = jnp.where(ok_nee[:, None],
+                         jnp.asarray(w_mis_n)[..., None] * c_nee, 0.0)
+        L = L + dL_n
+        dbg = dbg.at[depth, 1].add(dL_n[:, 0].sum())
 
         # --- BSDF sampling / continuation
         u_b = jnp.concatenate([
@@ -237,6 +245,7 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
             prev_specular=jnp.where(active, bs.specular,
                                     st["prev_specular"]),
             stats=stats,
+            dbg=dbg,
         )
 
     state = jax.lax.fori_loop(0, max_depth, body, state)
@@ -249,6 +258,8 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
         values = (Lw[:, None, :] * sens[..., None]).reshape(N, -1)
     else:
         values = Lw[:, 0:1] * sens
+    if debug_buckets:
+        return splat_pos, values, jnp.ones((N,), bool), state["dbg"]
     if with_stats:
         return splat_pos, values, jnp.ones((N,), bool), state["stats"]
     return splat_pos, values, jnp.ones((N,), bool)

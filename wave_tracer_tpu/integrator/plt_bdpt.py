@@ -18,9 +18,12 @@ inside the swept envelope form a canonical aperture (wave/fraunhofer.py),
 the un-blocked beam power I = 1 − ∫wavefront over clipped region
 triangles (find_closest_triangle, :353-419 — gaussian2d integrate
 triangle) normalizes the ASF, and an unbiased RIS draw redirects the
-beam. FSD vertices are stored with approximate reverse pdfs (the
-reference does the same, :334 "TODO: fsd reverse interaction pdf") and
-are skipped as connection endpoints in v1.
+beam. Each FSD vertex stores its aperture so it can serve as a
+CONNECTION ENDPOINT (reference connects through fsd vertices,
+:597-930): connections evaluate the scalar ASF for the connecting
+direction (the fsd wrapper's f() equals its pdf, fsd_sampler.cpp:
+105-110) with no surface cosine; reverse pdfs remain approximate (the
+reference does the same, :334 "TODO: fsd reverse interaction pdf").
 
 Transport is fully polarimetric (reference beam.hpp:31-248): the camera
 subpath composes frame-aware Mueller operators, the light subpath carries
@@ -176,6 +179,14 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         delta_v=jnp.zeros((N, V), bool),
         fsd_v=jnp.zeros((N, V), bool),
         valid=jnp.zeros((N, V), bool),
+        # per-vertex Fraunhofer aperture state so FSD vertices can serve
+        # as connection endpoints (reference connects through fsd
+        # vertices, plt_bdpt_detail.hpp:597-930)
+        ap_v=jax.tree.map(
+            lambda a: jnp.zeros((N, V) + a.shape[1:], a.dtype),
+            fr.empty_fr_aperture(N, K * subdiv)),
+        scale_v=jnp.zeros((N, V)),
+        recpI_v=jnp.zeros((N, V)),
     )
 
     def body(i, st):
@@ -269,6 +280,9 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
             pdf_fsd = jnp.ones((N,))
             fsd_lane = jnp.zeros((N,), bool)
             null_lane = jnp.zeros((N,), bool)
+            ap = fr.empty_fr_aperture(N, K * subdiv)
+            scale = jnp.zeros((N,))
+            recp_I = jnp.ones((N,))
 
         # ---- store vertex (surface or FSD; null consumes no slot)
         store = surface | fsd_lane
@@ -301,6 +315,13 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         st["fsd_v"] = _emit_at(st["fsd_v"], st["cur"], fsd_lane, store)
         st["valid"] = _emit_at(st["valid"], st["cur"],
                                jnp.ones((N,), bool), store)
+        st["ap_v"] = jax.tree.map(
+            lambda s, val: _emit_at(s, st["cur"], val,
+                                    store & fsd_lane), st["ap_v"], ap)
+        st["scale_v"] = _emit_at(st["scale_v"], st["cur"], scale,
+                                 store & fsd_lane)
+        st["recpI_v"] = _emit_at(st["recpI_v"], st["cur"], recp_I,
+                                 store & fsd_lane)
 
         # ---- continue the walk
         u_b = jnp.concatenate([
@@ -475,7 +496,7 @@ def _side_sum(tau, pconn, r_end_num, pdf_fwd, delta_v, S_tab,
 
 def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
                max_depth: int = 4, eps: float = 1e-5, fsd: bool = False,
-               K: int = 8):
+               K: int = 8, debug_buckets: bool = False):
     """One BDPT batch. Returns (pos, values (N,C), ok, light_splats):
     light_splats = (pos_lt (N*T,2), values_lt (N*T,C), ok_lt) — EVERY
     t=1 light-tracing vertex splats with its MIS weight (reference
@@ -545,6 +566,27 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
     def contrib4(M, Sv):
         return jnp.einsum("nij,nj->ni", M, Sv)
 
+    eye4 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4))
+
+    def fsd_f_at(vs, idx, dn):
+        """Scalar Fraunhofer FSD BSDF value (= its pdf; the reference fsd
+        wrapper's f() equals pdf·sr, fsd_sampler.cpp:105-110) at stored
+        vertex `idx` for outgoing direction dn, from the per-vertex
+        aperture — this is what lets FSD vertices serve as connection
+        endpoints (reference plt_bdpt_detail.hpp:597-930)."""
+        ap_i = jax.tree.map(lambda a: _dyn(a, idx), vs["ap_v"])
+        scale_i = _dyn(vs["scale_v"], idx)
+        recpI_i = _dyn(vs["recpI_v"], idx)
+        rd_v = -_dyn(vs["wi"], idx)          # beam direction INTO vertex
+        fx = _perp_axis(rd_v)
+        fy = jnp.cross(rd_v, fx)
+        wol = jnp.stack([vec.dot(dn, fx), vec.dot(dn, fy),
+                         vec.dot(dn, rd_v)], axis=-1)
+        xi, okx = fr.wo_to_xi(wol, scale_i)
+        f = fr.asf(ap_i, xi) * recpI_i
+        ok = okx & jnp.isfinite(f) & (f >= 0)
+        return jnp.where(ok, f, 0.0)
+
     # ---- MIS chain tables (O(1) weight per strategy)
     S_cam, F_cam = _chain_tables(cam["pdf_fwd"], cam["pdf_rev"],
                                  cam["delta_v"])
@@ -577,12 +619,22 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         (et.etype[jnp.maximum(e0, 0)] == etab.ET_AREA) & (cos_e0 > 1e-6)
         & (pdf_nee_sa0 > 0),
         pdf_lv0_to_em / jnp.maximum(pdf_nee_sa0, 1e-30), 0.0)
-    bot_light = m_nee0 * (1.0 + r_hit0)
+    # ONLY the emission-hit alternative lives below the chain: the
+    # NEE-position alternative (ratio 1 — NEE and emission position
+    # sampling share the same area measure) is already the chain's
+    # full-product term in _side_sum; adding it again double-counted it
+    # and under-weighted every interior strategy by 12-15%
+    bot_light = m_nee0 * r_hit0
 
     L = jnp.zeros((N, 4), jnp.float32)
+    # per-strategy intensity sums (debug_buckets): s0 by t, conn by
+    # (t, j), t=1 by light vertex
+    dbg = dict(s0=jnp.zeros((S + 1,)), conn=jnp.zeros((S * (T + 1),)),
+               t1=jnp.zeros((T,)))
 
     # ---- strategy s=0: camera path hits an emitter
-    def s0_body(t, L):
+    def s0_body(t, carry):
+        L, d_s0 = carry
         v = t - 1
         p_v = _dyn(cam["p"], v)
         gn_v = _dyn(cam["gn"], v)
@@ -605,17 +657,20 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         w = jnp.where(t == 1, 1.0, 1.0 / jnp.maximum(1.0 + ssum, 1.0))
         c_emit = contrib4(_dyn(cam["pol_v"], v),
                           stokes_mod.unpolarized(Le))
-        return L + jnp.where(ok[:, None], w[..., None] * c_emit, 0.0)
+        dL = jnp.where(ok[:, None], w[..., None] * c_emit, 0.0)
+        d_s0 = d_s0.at[t].add(dL[:, 0].sum())
+        return L + dL, d_s0
 
-    L = jax.lax.fori_loop(1, S + 1, s0_body, L)
+    L, dbg["s0"] = jax.lax.fori_loop(1, S + 1, s0_body, (L, dbg["s0"]))
 
     # ---- strategies s=1 (NEE) and s>=2 (vertex connections), flattened
-    def conn_body(idx, L):
+    def conn_body(idx, carry):
+        L, d_conn = carry
         t = 1 + idx // (T + 1)
         j = idx % (T + 1)
         cv = t - 1
-        cam_ok = _dyn(cam["valid"], cv) & ~_dyn(cam["delta_v"], cv) \
-            & ~_dyn(cam["fsd_v"], cv)
+        cam_fsd = _dyn(cam["fsd_v"], cv)
+        cam_ok = _dyn(cam["valid"], cv) & ~_dyn(cam["delta_v"], cv)
         p_c = _dyn(cam["p"], cv)
         ns_c = _dyn(cam["ns"], cv)
         wi_c_w = _dyn(cam["wi"], cv)
@@ -637,6 +692,7 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
             cv -> light side)."""
             _, pdf = bsdf_dev.eval_f(tables, mat_c, sfc.to_local(dn),
                                      wi_c, uv_c, k)
+            pdf = jnp.where(cam_fsd, fsd_f_at(cam, cv, segc), pdf)
             return pdf * jnp.abs(vec.dot(segc, ns_cprev)) / dc2
 
         dkeys = rng.depth_key(keys, 64 + idx)
@@ -651,6 +707,11 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
             wo_c = sfc.to_local(nee["wo"])
             f_c, pdf_c = bsdf_dev.eval_f(tables, mat_c, wi_c, wo_c,
                                          uv_c, k)
+            # FSD endpoint: scalar ASF value, polarization-preserving
+            f_fsd_c = fsd_f_at(cam, cv, nee["wo"])
+            f_c = jnp.where(cam_fsd[:, None, None],
+                            eye4 * f_fsd_c[:, None, None], f_c)
+            pdf_c = jnp.where(cam_fsd, f_fsd_c, pdf_c)
             occ = trace_mod.occluded(
                 geo, p_c, nee["wo"], jnp.full((N,), eps),
                 nee["dist"] - 2 * eps, jnp.full((N,), -1, jnp.int32),
@@ -682,8 +743,8 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         def conn_strategy():
             lv = j - 1
             s_len = j            # stored light vertices in the chain
-            l_ok = _dyn(lgt["valid"], lv) & ~_dyn(lgt["delta_v"], lv) \
-                & ~_dyn(lgt["fsd_v"], lv)
+            l_fsd = _dyn(lgt["fsd_v"], lv)
+            l_ok = _dyn(lgt["valid"], lv) & ~_dyn(lgt["delta_v"], lv)
             p_l = _dyn(lgt["p"], lv)
             ns_l = _dyn(lgt["ns"], lv)
             wi_l_w = _dyn(lgt["wi"], lv)
@@ -698,12 +759,26 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
             f_lgt, pdf_lgt_dir = bsdf_dev.eval_f(
                 tables, mat_l, sfl.to_local(wi_l_w), sfl.to_local(-dn),
                 uv_l, k)
+            # FSD endpoints: scalar ASF values in place of the surface
+            # BSDF (region vertices carry no cosine either)
+            f_fsd_c = fsd_f_at(cam, cv, dn)
+            f_cam = jnp.where(cam_fsd[:, None, None],
+                              eye4 * f_fsd_c[:, None, None], f_cam)
+            pdf_cam_dir = jnp.where(cam_fsd, f_fsd_c, pdf_cam_dir)
+            f_fsd_l = fsd_f_at(lgt, lv, -dn)
+            f_lgt = jnp.where(l_fsd[:, None, None],
+                              eye4 * f_fsd_l[:, None, None], f_lgt)
+            pdf_lgt_dir = jnp.where(l_fsd, f_fsd_l, pdf_lgt_dir)
             occ2 = trace_mod.occluded(
                 geo, p_c, dn, jnp.full((N,), eps), dist - 2 * eps,
                 jnp.full((N,), -1, jnp.int32),
                 jnp.full((N,), -1, jnp.int32))
-            cos_c = jnp.maximum(jnp.abs(vec.dot(dn, ns_c)), 1e-7)
-            cos_l = jnp.maximum(jnp.abs(vec.dot(dn, ns_l)), 1e-7)
+            cos_c = jnp.where(cam_fsd, 1.0,
+                              jnp.maximum(jnp.abs(vec.dot(dn, ns_c)),
+                                          1e-7))
+            cos_l = jnp.where(l_fsd, 1.0,
+                              jnp.maximum(jnp.abs(vec.dot(dn, ns_l)),
+                                          1e-7))
             d_in_l = -wi_l_w
             s_ax_l = _safe_cross(d_in_l, -dn)
             S_rot = stokes_mod.reorient(pol_l, pax_l, s_ax_l, d_in_l)
@@ -711,9 +786,12 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
             M_conn, x_in = compose_scatter(pol_c, pax_c, wi_c_w, f_cam,
                                            -dn)
             S2 = stokes_mod.reorient(S1, s_ax_l, x_in, -dn)
-            geom = G / (cos_c * cos_l)
-            c_conn = contrib4(M_conn, S2) * geom[:, None]
             d2 = jnp.maximum(dist, 1e-9) ** 2
+            # the Mueller-valued BSDFs carry their own cosines; the
+            # connection geometry reduces to 1/d² (FSD region vertices
+            # included — they have no surface cosine at all)
+            geom = 1.0 / d2
+            c_conn = contrib4(M_conn, S2) * geom[:, None]
             pconn_cam = pdf_lgt_dir * cos_c / d2
             pconn_lgt = pdf_cam_dir * cos_l / d2
             # light-side endpoint remap: pdf of lgt[lv-1] from lv given
@@ -726,6 +804,8 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
             _, pdf_l_rev = bsdf_dev.eval_f(tables, mat_l,
                                            sfl.to_local(-dn),
                                            sfl.to_local(wi_l_w), uv_l, k)
+            pdf_l_rev = jnp.where(l_fsd, fsd_f_at(lgt, lv, segl),
+                                  pdf_l_rev)
             r_end_l = pdf_l_rev * jnp.abs(vec.dot(segl, ns_lprev)) / dl2
             ssum_c = _side_sum(t, pconn_cam, cam_r_end(dn),
                                cam["pdf_fwd"], cam["delta_v"], S_cam)
@@ -737,9 +817,11 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
             return jnp.where(ok[:, None], w[..., None] * c_conn, 0.0)
 
         dL = jnp.where(j == 0, nee_strategy(), conn_strategy())
-        return L + dL
+        d_conn = d_conn.at[idx].add(dL[:, 0].sum())
+        return L + dL, d_conn
 
-    L = jax.lax.fori_loop(0, S * (T + 1), conn_body, L)
+    L, dbg["conn"] = jax.lax.fori_loop(0, S * (T + 1), conn_body,
+                                       (L, dbg["conn"]))
 
     # ---- t=1: light tracing onto the sensor — EVERY stored light
     # vertex splats, weighted by the full MIS (the camera subpath is the
@@ -757,14 +839,22 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         mat_l = _dyn(lgt["mat"], lv)
         pol_l = _dyn(lgt["pol_v"], lv)
         pax_l = _dyn(lgt["pax_v"], lv)
+        l_fsd = _dyn(lgt["fsd_v"], lv)
         pxy_l, visible, cosz, dn_cam, dist_c = sensor.project(p_l)
         sfl = frame_mod.build_shading_frame(ns_l, _tangent_of(ns_l))
         f_l, _ = bsdf_dev.eval_f(tables, mat_l, sfl.to_local(wi_l_w),
                                  sfl.to_local(-dn_cam), uv_l, k)
+        f_fsd_l = fsd_f_at(lgt, lv, -dn_cam)
+        f_l = jnp.where(l_fsd[:, None, None],
+                        eye4 * f_fsd_l[:, None, None], f_l)
         occ3 = trace_mod.occluded(
             geo, ro_cam, dn_cam, jnp.full((N,), eps), dist_c - 2 * eps,
             jnp.full((N,), -1, jnp.int32), jnp.full((N,), -1, jnp.int32))
-        W_cam = 1.0 / (A_img * jnp.maximum(cosz, 1e-3) ** 4)
+        # importance with the pixel choice folded into the direction pdf
+        # (every strategy assumes n = spp·npix samples): the splat value
+        # is β·f/(A_img·cosz³·d²), developed by /spp — this makes the
+        # light image consistent with the backward per-pixel estimator
+        W_cam = 1.0 / (A_img * jnp.maximum(cosz, 1e-3) ** 3)
         d_in_l = -wi_l_w
         s_ax_l = _safe_cross(d_in_l, -dn_cam)
         S_rot = stokes_mod.reorient(pol_l, pax_l, s_ax_l, d_in_l)
@@ -772,7 +862,9 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         d2c = jnp.maximum(dist_c, 1e-9) ** 2
         val = S1 * (W_cam / d2c)[:, None]
         # MIS: re-sample the light chain from the camera side
-        cos_l = jnp.maximum(jnp.abs(vec.dot(dn_cam, ns_l)), 1e-7)
+        cos_l = jnp.where(l_fsd, 1.0,
+                          jnp.maximum(jnp.abs(vec.dot(dn_cam, ns_l)),
+                                      1e-7))
         p_camdir = 1.0 / (A_img * jnp.maximum(cosz, 1e-3) ** 3)
         pconn_lgt = p_camdir * cos_l / d2c
         p_lprev = _dyn(lgt["p"], lv - 1)
@@ -783,13 +875,13 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         _, pdf_l_rev = bsdf_dev.eval_f(tables, mat_l,
                                        sfl.to_local(-dn_cam),
                                        sfl.to_local(wi_l_w), uv_l, k)
+        pdf_l_rev = jnp.where(l_fsd, fsd_f_at(lgt, lv, segl), pdf_l_rev)
         r_end_l = pdf_l_rev * jnp.abs(vec.dot(segl, ns_lprev)) / dl2
         ssum_l = _side_sum(s_len, pconn_lgt, r_end_l, lgt["pdf_fwd"],
                            lgt["delta_v"], S_lgt, F_lgt, bot_light)
         w = 1.0 / jnp.maximum(1.0 + ssum_l, 1.0)
         ok = _dyn(lgt["valid"], lv) & ~_dyn(lgt["delta_v"], lv) \
-            & ~_dyn(lgt["fsd_v"], lv) & visible & ~occ3 \
-            & (val[:, 0] > 0)
+            & visible & ~occ3 & (val[:, 0] > 0)
         val = val * w[:, None]
         lt_pos = jax.lax.dynamic_update_index_in_dim(
             lt_pos, pxy_l, lv, axis=1)
@@ -817,10 +909,18 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         values = Lw[:, 0:1] * sens
         lt_values = ltw[..., 0:1] * sens[:, None, :]
     Cl = lt_values.shape[-1]
-    return (splat_pos, values, jnp.ones((N,), bool),
-            (lt_pos.reshape(N * T, 2),
-             (lt_values / npix).reshape(N * T, Cl),
-             lt_ok.reshape(N * T)))
+    del npix  # pixel count lives inside the camera pdf convention
+    out = (splat_pos, values, jnp.ones((N,), bool),
+           (lt_pos.reshape(N * T, 2),
+            lt_values.reshape(N * T, Cl),
+            lt_ok.reshape(N * T)))
+    if debug_buckets:
+        # raw pre-spectral-weight sums, same units as the s0/conn buckets
+        dbg["t1"] = jnp.sum(
+            jnp.where(lt_ok[..., None], lt_val[..., 0:1], 0.0),
+            axis=(0, 2))
+        return out + (dbg,)
+    return out
 
 
 def _ph(a, b):

@@ -141,6 +141,17 @@ def edge_powers(e, a_b, iab_2):
                        + PA2 * jnp.abs(iab_2) ** 2)
 
 
+def empty_fr_aperture(N, B):
+    """All-invalid aperture with B slots (pytree-shape placeholder for
+    lanes/vertices without diffraction state)."""
+    return FraunhoferAperture(
+        e=jnp.zeros((N, B, 2)), v=jnp.zeros((N, B, 2)),
+        a_b=jnp.zeros((N, B), jnp.complex64),
+        iab_2=jnp.zeros((N, B), jnp.complex64),
+        valid=jnp.zeros((N, B), bool), edge_pdf=jnp.zeros((N, B)),
+        P0=jnp.zeros(N), P0_pdf=jnp.zeros(N), psi02=jnp.zeros(N))
+
+
 def build_aperture(seg_p1, seg_p2, amp1, amp2, valid, p0_scale=1.0):
     """Assemble an aperture from clipped projected segments.
 
