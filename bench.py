@@ -1,19 +1,21 @@
-"""Benchmark: cornell-box backward path throughput (beams/s/chip).
+"""Benchmark: wave-optical beam throughput on the cornell box (headline)
+plus classical-kernel secondaries, on one TPU chip.
 
-Run by the driver on real TPU hardware; prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "secondary": {...}}
 
-The reference publishes no numeric throughput (BASELINE.md) — its only
-statement is that wave tracing costs ~5-20x classical ray tracing on a
-powerful CPU node. As the comparable baseline we take 100k paths/s for a
-CPU node running the reference (mid-range estimate from its published
-slowdown factor over typical embree-class CPU ray tracing of ~1-2M rays/s
-on such scenes); vs_baseline = value / 100_000.
+Baselines (BASELINE.md): the reference publishes no numeric throughput.
+Its only statement is that wave tracing costs ~5-20x classical ray
+tracing on a powerful CPU node. We take 100k paths/s as the classical
+CPU estimate (mid-range from typical embree-class throughput on such
+scenes) and 10k beams/s (the geometric middle of the 5-20x slowdown)
+as the wave-mode baseline. vs_baseline = wave beams/s / 10_000.
 
-Structure: the measurement runs in a child process with a hard timeout —
+Structure: measurements run in a child process with a hard timeout —
 the axon TPU backend occasionally wedges inside compile RPCs where no
 in-process signal can fire; the parent then reports the best partial
-number (or 0) instead of hanging the driver.
+numbers instead of hanging the driver.
 """
 
 import json
@@ -21,52 +23,82 @@ import os
 import subprocess
 import sys
 
-BASELINE_PATHS_PER_SEC = 100_000.0
+BASELINE_WAVE_BEAMS_PER_SEC = 10_000.0
+BASELINE_CLASSICAL_PATHS_PER_SEC = 100_000.0
 CHILD_TIMEOUT_SECS = 1500
 
 
-def child():
-    import time
+def _load_box(defines):
+    from wave_tracer_tpu.scene.xml import load_scene_xml
+    scene_path = "/root/reference/scenes/cornell-box/box.xml"
+    if os.path.isfile(scene_path):
+        return load_scene_xml(scene_path, defines)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from test_render import make_box_scene
+    return make_box_scene(res=int(defines["res"]),
+                          spp=int(defines["spp"]))
 
+
+def child():
     import numpy as np
 
     from wave_tracer_tpu.render import render_scene
     from wave_tracer_tpu.scene import build_scene
-    from wave_tracer_tpu.scene.xml import load_scene_xml
-
-    scene_path = "/root/reference/scenes/cornell-box/box.xml"
-    if os.path.isfile(scene_path):
-        scene = load_scene_xml(scene_path, {"res": "256", "spp": "16"})
-    else:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
-                                        "tests"))
-        from test_render import make_box_scene
-        scene = make_box_scene(res=256, spp=16)
-    scene.integrator.max_depth = 8
-    # headline throughput uses the classical transport kernel; the wave
-    # kernel also compiles+runs on axon since the gather-packing sweep
-    # (~16x slower — inside the reference's own 5-20x characterization)
-    scene.integrator.type = "plt_path"
-    scene.integrator.fsd = False
-    built = build_scene(scene)
 
     # 16k lanes/batch: XLA compile degrades badly at very large lane
-    # counts on this backend. First pass compiles, second is timed.
+    # counts on this backend. First pass compiles, second is timed
+    # (compiled kernels are cached per sensor+config).
     LANES = 1 << 14
-    img, stats = render_scene(built, spp=16, batch_lanes=LANES,
+
+    # ---- headline: wave-optical transport (plt_path + UTD FSD,
+    # hybrid ballistic/diffusive cone traversal)
+    scene = _load_box({"res": "256", "spp": "16"})
+    scene.integrator.max_depth = 8
+    scene.integrator.type = "plt_path"
+    scene.integrator.fsd = True
+    built = build_scene(scene)
+    img, stats = render_scene(built, spp=1, batch_lanes=LANES,
                               fuse_batches=False)
-    print("PARTIAL", stats["paths_per_sec"], flush=True)
+    print("PARTIAL wave", stats["paths_per_sec"], flush=True)
+    img, stats = render_scene(built, spp=2, batch_lanes=LANES,
+                              fuse_batches=False)
+    assert np.isfinite(img).all()
+    print("RESULT wave", stats["paths_per_sec"], flush=True)
+
+    # ---- secondary: classical kernel (compacted persistent wavefront)
+    scene.integrator.fsd = False
+    built = build_scene(scene)
+    img, stats = render_scene(built, spp=4, batch_lanes=LANES,
+                              fuse_batches=False)
+    print("PARTIAL classical", stats["paths_per_sec"], flush=True)
     img, stats = render_scene(built, spp=16, batch_lanes=LANES,
                               fuse_batches=False)
     assert np.isfinite(img).all()
-    print("RESULT", stats["paths_per_sec"], flush=True)
+    print("RESULT classical", stats["paths_per_sec"], flush=True)
+
+    # ---- secondary: classical on ~100k triangles (procedural stand-in
+    # for the box's git-lfs-stub dragon: a tessellation-192 icosphere,
+    # 81920 tris — exercises the intersector at scale)
+    from wave_tracer_tpu.geometry import mesh as mesh_mod
+    from wave_tracer_tpu.scene.model import Shape
+    mat = scene.shapes[0].material
+    scene.shapes.append(Shape(
+        mesh_mod.sphere([2.78, 1.2, 2.78], 0.9, tessellation=192), mat))
+    built = build_scene(scene)
+    img, stats = render_scene(built, spp=2, batch_lanes=LANES,
+                              fuse_batches=False)
+    print("PARTIAL tri100k", stats["paths_per_sec"], flush=True)
+    img, stats = render_scene(built, spp=8, batch_lanes=LANES,
+                              fuse_batches=False)
+    assert np.isfinite(img).all()
+    print("RESULT tri100k", stats["paths_per_sec"], flush=True)
 
 
 def main():
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child"],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-    best = 0.0
+    best = {}
     try:
         out, _ = proc.communicate(timeout=CHILD_TIMEOUT_SECS)
     except subprocess.TimeoutExpired:
@@ -74,16 +106,27 @@ def main():
         out, _ = proc.communicate()
     for line in (out or "").splitlines():
         parts = line.split()
-        if len(parts) == 2 and parts[0] in ("PARTIAL", "RESULT"):
+        if len(parts) == 3 and parts[0] in ("PARTIAL", "RESULT"):
             try:
-                best = max(best, float(parts[1]))
+                v = float(parts[2])
             except ValueError:
-                pass
+                continue
+            best[parts[1]] = max(best.get(parts[1], 0.0), v)
+    wave = best.get("wave", 0.0)
     print(json.dumps({
-        "metric": "beams_per_sec_cornell_box_bwd",
-        "value": round(best, 1),
+        "metric": "wave_beams_per_sec_cornell_box_bwd",
+        "value": round(wave, 1),
         "unit": "beams/s/chip",
-        "vs_baseline": round(best / BASELINE_PATHS_PER_SEC, 3),
+        "vs_baseline": round(wave / BASELINE_WAVE_BEAMS_PER_SEC, 3),
+        "secondary": {
+            "classical_paths_per_sec": round(best.get("classical", 0.0),
+                                             1),
+            "classical_vs_baseline": round(
+                best.get("classical", 0.0)
+                / BASELINE_CLASSICAL_PATHS_PER_SEC, 3),
+            "classical_100k_tris_paths_per_sec": round(
+                best.get("tri100k", 0.0), 1),
+        },
     }))
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -285,6 +286,14 @@ def sample(tables: Tables, mat_id, wi, uv, k, u4):
     # un-flip for twosided back faces
     wo = jnp.concatenate([wo[..., :2], (wo[..., 2] * sgn)[..., None]],
                          axis=-1)
+    # DETACHED SAMPLING (SURVEY phase 5 / BASELINE convention): sampled
+    # directions and their densities are stop-gradiented — the
+    # differentiable radiometric path flows through the weighted value
+    # Mw only. This is what makes gradients finite at TIR/grazing
+    # boundaries where d(direction)/d(IOR) diverges.
+    wo = jax.lax.stop_gradient(wo)
+    pdf = jax.lax.stop_gradient(pdf)
+    eta_out = jax.lax.stop_gradient(eta_out)
     return BsdfSample(wo=wo, pdf=pdf, Mw=Mw, specular=specular, eta=eta_out,
                       refracted=refracted, valid=valid)
 

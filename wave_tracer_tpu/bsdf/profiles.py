@@ -125,8 +125,11 @@ def psd_dirs(params: ProfileParams, wi, wo, k_si):
 def _phi_max(f_k, s):
     """Azimuthal truncation: directions must stay on the unit disk."""
     degenerate = (f_k < 1e-9) | (s < 1e-9)
+    # clip strictly inside (-1, 1): arccos' slope is infinite at the
+    # boundary and clip's zero tangent there yields inf*0 = NaN in JVPs
     c = jnp.clip((f_k ** 2 + s ** 2 - 1.0)
-                 / jnp.maximum(2.0 * f_k * s, 1e-12), -1.0, 1.0)
+                 / jnp.maximum(2.0 * f_k * s, 1e-12),
+                 -1.0 + 1e-6, 1.0 - 1e-6)
     return jnp.where(degenerate, math.pi, jnp.arccos(c))
 
 
@@ -138,7 +141,7 @@ def sample(params: ProfileParams, wi, k_si, u2):
     Returns (wo, pdf, psd_val, valid). wi local (..., 3), u2 (..., 2).
     """
     km = k_mm(k_si)
-    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi[..., 2] ** 2))
+    s = jnp.sqrt(jnp.maximum(1.0 - wi[..., 2] ** 2, 1e-24))
     phi_i = jnp.where(s > 0, jnp.arctan2(wi[..., 1], wi[..., 0]), 0.0)
     gamma = jnp.where(params.ptype == PROFILE_GAUSSIAN, 40.0, params.gamma)
     T = params.T
@@ -148,7 +151,9 @@ def sample(params: ProfileParams, wi, k_si, u2):
     M = 1.0 - jnp.power(1.0 + k2T * (1.0 + s) ** 2, -0.5 * (gamma - 1.0))
     base = jnp.power(jnp.maximum(1.0 - M * u2[..., 0], 1e-12),
                      -2.0 / (gamma - 1.0))
-    f = jnp.sqrt(jnp.maximum(base - 1.0, 0.0)) / sqrtT     # 1/mm
+    # eps floor: at u=0 base==1 exactly and d(sqrt)/dx -> inf would
+    # poison JVP tangents of every downstream quantity
+    f = jnp.sqrt(jnp.maximum(base - 1.0, 1e-24)) / sqrtT   # 1/mm
     f_k = f / km
 
     pm = _phi_max(f_k, s)
@@ -161,7 +166,7 @@ def sample(params: ProfileParams, wi, k_si, u2):
     woy = vfy / km - wi[..., 1]
     wo2 = wox * wox + woy * woy
     valid = wo2 < 1.0
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - wo2))
+    z = jnp.sqrt(jnp.maximum(1.0 - wo2, 1e-24))
     z = jnp.where(wi[..., 2] >= 0, z, -z)
     wo = jnp.stack([wox, woy, z], axis=-1)
 

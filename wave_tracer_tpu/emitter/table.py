@@ -154,7 +154,7 @@ def _spot_falloff_row(row, local_cos):
     """Linear angular falloff (reference spot.hpp compute_falloff)."""
     cutoff = row[..., EmitterTable.C_CUTOFF_ANGLE]
     beam = row[..., EmitterTable.C_BEAM_ANGLE]
-    theta = jnp.arccos(jnp.clip(local_cos, -1.0, 1.0))
+    theta = jnp.arccos(jnp.clip(local_cos, -1.0 + 1e-6, 1.0 - 1e-6))
     w = (cutoff - theta) / jnp.maximum(cutoff - beam, 1e-9)
     return jnp.clip(
         jnp.where(local_cos <= row[..., EmitterTable.C_COS_CUTOFF], 0.0,

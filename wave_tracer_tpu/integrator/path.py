@@ -149,104 +149,9 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
 
     def body(depth, st):
         dkeys = rng.depth_key(keys, depth)
-
-        t, tri, u, v = trace_mod.trace(geo, st["ro"], st["rd"],
-                                       jnp.full((N,), eps),
-                                       jnp.full((N,), BIG), st["exclude"])
-        hit = trace_mod.hit_attributes(geo, st["ro"], st["rd"], t, tri, u, v)
-        lane = st["active"] & hit.valid
-
-        # shading frame
-        sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
-        sf = bsdf_dev.apply_normalmap(tables, hit.mat_id, hit.uv, k, sf)
-        wi = -st["rd"]
-        wi_l = sf.to_local(wi)
-
-        # --- emission (hit an area emitter from the front)
-        cos_out = vec.dot(wi, hit.geo_n)
-        Le = etab.emission_radiance(et, tables.spectra, hit.emitter_id, k,
-                                    cos_out)
-        d2 = jnp.maximum(hit.t, 1e-9) ** 2
-        pdf_nee_same = etab.pdf_direct_solid_angle(
-            et, hit.emitter_id, d2, cos_out) \
-            * _emitter_pmf(et, hit.emitter_id)
-        w_mis_e = jnp.where(st["prev_specular"] | (~jnp.asarray(mis)),
-                            1.0,
-                            _power_heuristic(st["prev_pdf"], pdf_nee_same))
-        dL_e = jnp.where((lane & (Le > 0))[:, None],
-                         w_mis_e[..., None] * contribution(st["M"], Le),
-                         0.0)
-        L = st["L"] + dL_e
-        dbg = st["dbg"].at[depth, 0].add(dL_e[:, 0].sum())
-
-        # --- NEE
-        u_pick = rng.uniform(dkeys, rng.D_EMITTER_PICK)
-        e_n, pmf_n = _sample_emitter_by_power(et, u_pick)
-        u_nee = rng.uniform(dkeys, rng.D_NEE, 3)
-        nee = etab.sample_direct(et, geo, tables.spectra, e_n, hit.p, k,
-                                 u_nee)
-        wo_nee_l = sf.to_local(nee["wo"])
-        f_nee, pdf_b_nee = bsdf_dev.eval_f(tables, hit.mat_id, wi_l,
-                                           wo_nee_l, hit.uv, k)
-        occ = trace_mod.occluded(geo, hit.p, nee["wo"],
-                                 jnp.full((N,), eps),
-                                 nee["dist"] - 2.0 * eps,
-                                 hit.tri, nee["tri"])
-        pdf_nee = pmf_n * nee["pdf_sa"]
-        w_mis_n = jnp.where(nee["delta_dir"] | (~jnp.asarray(mis)), 1.0,
-                            _power_heuristic(pdf_nee, pdf_b_nee))
-        M_nee, _ = compose_scatter(st["M"], st["xf"], -st["rd"], f_nee,
-                                   -nee["wo"])
-        c_nee = contribution(M_nee, nee["Li"]) \
-            / jnp.maximum(pdf_nee, 1e-30)[:, None]
-        ok_nee = lane & nee["valid"] & (~occ) & (pdf_nee > 0) \
-            & (f_nee[:, 0, 0] > 0)
-        dL_n = jnp.where(ok_nee[:, None],
-                         jnp.asarray(w_mis_n)[..., None] * c_nee, 0.0)
-        L = L + dL_n
-        dbg = dbg.at[depth, 1].add(dL_n[:, 0].sum())
-
-        # --- BSDF sampling / continuation
-        u_b = jnp.concatenate([
-            rng.uniform(dkeys, rng.D_BSDF_LOBE, 2),
-            rng.uniform(dkeys, rng.D_BSDF_DIR, 2)], axis=-1)
-        bs = bsdf_dev.sample(tables, hit.mat_id, wi_l, hit.uv, k, u_b)
-        wo_w = sf.to_world(bs.wo)
-        M_next, xf_next = compose_scatter(st["M"], st["xf"], -st["rd"],
-                                          bs.Mw, -wo_w)
-
-        # --- russian roulette (plt_path_detail.hpp:123-142: floor .5)
-        u_rr = rng.uniform(dkeys, rng.D_RR)
-        beta = jnp.abs(M_next[:, 0, 0])
-        q = jnp.clip(beta, rr_floor, 1.0)
-        do_rr = depth >= rr_depth
-        survive = jnp.where(do_rr, u_rr < q, True)
-        M_next = M_next / jnp.where(do_rr, q, 1.0)[:, None, None]
-
-        active = lane & bs.valid & survive & (beta > 1e-9)
-        stats = st["stats"]
-        if with_stats:
-            f32 = jnp.float32
-            stats = stats.at[STAT_RAYS].add(st["active"].sum(dtype=f32))
-            stats = stats.at[STAT_SHADOW].add(lane.sum(dtype=f32))
-            stats = stats.at[STAT_SURFACE].add(lane.sum(dtype=f32))
-            stats = stats.at[STAT_RR_KILL].add(
-                (lane & bs.valid & ~survive).sum(dtype=f32))
-            stats = stats.at[STAT_DEPTH_SUM].add(active.sum(dtype=f32))
-        return dict(
-            ro=jnp.where(active[:, None], hit.p, st["ro"]),
-            rd=jnp.where(active[:, None], wo_w, st["rd"]),
-            M=jnp.where(active[:, None, None], M_next, st["M"]),
-            xf=jnp.where(active[:, None], xf_next, st["xf"]),
-            L=L,
-            active=active,
-            exclude=jnp.where(active, hit.tri, st["exclude"]),
-            prev_pdf=jnp.where(active, bs.pdf, st["prev_pdf"]),
-            prev_specular=jnp.where(active, bs.specular,
-                                    st["prev_specular"]),
-            stats=stats,
-            dbg=dbg,
-        )
+        return classical_bounce(data, st, dkeys, k, depth, eps=eps,
+                                mis=mis, rr_depth=rr_depth,
+                                rr_floor=rr_floor, with_stats=with_stats)
 
     state = jax.lax.fori_loop(0, max_depth, body, state)
 
@@ -263,6 +168,129 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
     if with_stats:
         return splat_pos, values, jnp.ones((N,), bool), state["stats"]
     return splat_pos, values, jnp.ones((N,), bool)
+
+
+def classical_bounce(data, st, dkeys, k, depth, *, eps, mis, rr_depth,
+                     rr_floor, with_stats=False):
+    """One classical bounce over the lane state (trace → emission MIS →
+    NEE → BSDF sample → RR). Shared by the batched fori_loop renderer
+    (trace_paths) and the compacted persistent wavefront
+    (path_compact.py); `depth` may be a scalar or a per-lane vector —
+    identical RNG streams either way."""
+    geo = data.geo
+    tables = data.tables
+    et = data.emitters
+    N = st["L"].shape[0]
+
+    def contribution(M, Li):
+        S = stokes.unpolarized(Li)
+        return jnp.einsum("nij,nj->ni", M, S)
+
+    t, tri, u, v = trace_mod.trace(geo, st["ro"], st["rd"],
+                                   jnp.full((N,), eps),
+                                   jnp.full((N,), BIG), st["exclude"])
+    hit = trace_mod.hit_attributes(geo, st["ro"], st["rd"], t, tri, u, v)
+    lane = st["active"] & hit.valid
+
+    # shading frame
+    sf = frame_mod.build_shading_frame(hit.ns, hit.dpdu)
+    sf = bsdf_dev.apply_normalmap(tables, hit.mat_id, hit.uv, k, sf)
+    wi = -st["rd"]
+    wi_l = sf.to_local(wi)
+
+    # --- emission (hit an area emitter from the front)
+    cos_out = vec.dot(wi, hit.geo_n)
+    Le = etab.emission_radiance(et, tables.spectra, hit.emitter_id, k,
+                                cos_out)
+    d2 = jnp.maximum(hit.t, 1e-9) ** 2
+    pdf_nee_same = etab.pdf_direct_solid_angle(
+        et, hit.emitter_id, d2, cos_out) \
+        * _emitter_pmf(et, hit.emitter_id)
+    w_mis_e = jnp.where(st["prev_specular"] | (~jnp.asarray(mis)),
+                        1.0,
+                        _power_heuristic(st["prev_pdf"], pdf_nee_same))
+    dL_e = jnp.where((lane & (Le > 0))[:, None],
+                     w_mis_e[..., None] * contribution(st["M"], Le),
+                     0.0)
+    L = st["L"] + dL_e
+    D_dbg = st["dbg"].shape[0]
+    if jnp.ndim(depth) == 0:
+        dbg = st["dbg"].at[depth, 0].add(dL_e[:, 0].sum())
+    else:
+        dbg = st["dbg"].at[jnp.minimum(depth, D_dbg - 1), 0].add(
+            dL_e[:, 0])
+
+    # --- NEE
+    u_pick = rng.uniform(dkeys, rng.D_EMITTER_PICK)
+    e_n, pmf_n = _sample_emitter_by_power(et, u_pick)
+    u_nee = rng.uniform(dkeys, rng.D_NEE, 3)
+    nee = etab.sample_direct(et, geo, tables.spectra, e_n, hit.p, k,
+                             u_nee)
+    wo_nee_l = sf.to_local(nee["wo"])
+    f_nee, pdf_b_nee = bsdf_dev.eval_f(tables, hit.mat_id, wi_l,
+                                       wo_nee_l, hit.uv, k)
+    occ = trace_mod.occluded(geo, hit.p, nee["wo"],
+                             jnp.full((N,), eps),
+                             nee["dist"] - 2.0 * eps,
+                             hit.tri, nee["tri"])
+    pdf_nee = pmf_n * nee["pdf_sa"]
+    w_mis_n = jnp.where(nee["delta_dir"] | (~jnp.asarray(mis)), 1.0,
+                        _power_heuristic(pdf_nee, pdf_b_nee))
+    M_nee, _ = compose_scatter(st["M"], st["xf"], -st["rd"], f_nee,
+                               -nee["wo"])
+    c_nee = contribution(M_nee, nee["Li"]) \
+        / jnp.maximum(pdf_nee, 1e-30)[:, None]
+    ok_nee = lane & nee["valid"] & (~occ) & (pdf_nee > 0) \
+        & (f_nee[:, 0, 0] > 0)
+    dL_n = jnp.where(ok_nee[:, None],
+                     jnp.asarray(w_mis_n)[..., None] * c_nee, 0.0)
+    L = L + dL_n
+    if jnp.ndim(depth) == 0:
+        dbg = dbg.at[depth, 1].add(dL_n[:, 0].sum())
+    else:
+        dbg = dbg.at[jnp.minimum(depth, D_dbg - 1), 1].add(dL_n[:, 0])
+
+    # --- BSDF sampling / continuation
+    u_b = jnp.concatenate([
+        rng.uniform(dkeys, rng.D_BSDF_LOBE, 2),
+        rng.uniform(dkeys, rng.D_BSDF_DIR, 2)], axis=-1)
+    bs = bsdf_dev.sample(tables, hit.mat_id, wi_l, hit.uv, k, u_b)
+    wo_w = sf.to_world(bs.wo)
+    M_next, xf_next = compose_scatter(st["M"], st["xf"], -st["rd"],
+                                      bs.Mw, -wo_w)
+
+    # --- russian roulette (plt_path_detail.hpp:123-142: floor .5)
+    u_rr = rng.uniform(dkeys, rng.D_RR)
+    beta = jnp.abs(M_next[:, 0, 0])
+    q = jnp.clip(beta, rr_floor, 1.0)
+    do_rr = depth >= rr_depth
+    survive = jnp.where(do_rr, u_rr < q, True)
+    M_next = M_next / jnp.where(do_rr, q, 1.0)[:, None, None]
+
+    active = lane & bs.valid & survive & (beta > 1e-9)
+    stats = st["stats"]
+    if with_stats:
+        f32 = jnp.float32
+        stats = stats.at[STAT_RAYS].add(st["active"].sum(dtype=f32))
+        stats = stats.at[STAT_SHADOW].add(lane.sum(dtype=f32))
+        stats = stats.at[STAT_SURFACE].add(lane.sum(dtype=f32))
+        stats = stats.at[STAT_RR_KILL].add(
+            (lane & bs.valid & ~survive).sum(dtype=f32))
+        stats = stats.at[STAT_DEPTH_SUM].add(active.sum(dtype=f32))
+    return dict(
+        ro=jnp.where(active[:, None], hit.p, st["ro"]),
+        rd=jnp.where(active[:, None], wo_w, st["rd"]),
+        M=jnp.where(active[:, None, None], M_next, st["M"]),
+        xf=jnp.where(active[:, None], xf_next, st["xf"]),
+        L=L,
+        active=active,
+        exclude=jnp.where(active, hit.tri, st["exclude"]),
+        prev_pdf=jnp.where(active, bs.pdf, st["prev_pdf"]),
+        prev_specular=jnp.where(active, bs.specular,
+                                st["prev_specular"]),
+        stats=stats,
+        dbg=dbg,
+    )
 
 
 def _emitter_pmf(et, emitter_id):

@@ -1,0 +1,142 @@
+"""Compacted persistent-wavefront classical renderer.
+
+The batched renderer (trace_paths) runs every lane to max_depth: lanes
+killed by russian roulette or escape ride the remaining bounces as dead
+weight (~40% of all lane-bounces on the cornell box at depth 8). Here the
+wavefront is PERSISTENT: one device-side while_loop keeps a fixed pool of
+lanes saturated — a lane that dies splats its radiance into the film and
+immediately restarts as the next (pixel, sample) id from the launch's id
+range. This is the classic wavefront-compaction design (the reference's
+thread pool achieves the same occupancy by construction,
+src/scene/render.cpp:381-579).
+
+RNG streams are keyed by (pixel, sample, depth, use) — independent of the
+lane slot — so the compacted renderer traces EXACTLY the same paths as
+the batched one; images agree to splat-order rounding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from wave_tracer_tpu.integrator.path import (N_STATS, _perp_axis,
+                                             classical_bounce)
+from wave_tracer_tpu.sampling import rng
+from wave_tracer_tpu.sensor import film as film_mod
+
+
+def make_compact_kernel(sensor, max_depth, eps, mis, *, rr_depth=3,
+                        rr_floor=0.5, with_stats=True):
+    """Returns a jitted kernel: (data, film, base_key, id_start, id_end,
+    lanes[static]) → (film, stats). Ids enumerate (pixel, sample) pairs
+    as id = sid·npixels + pixel."""
+    W, H = sensor.width, sensor.height
+    npix = W * H
+    polarimetric = bool(getattr(sensor, "polarimetric", False))
+
+    @partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
+    def kern(data, film, base_key, id_bounds, lanes):
+        tables = data.tables
+        sp = data.spectral
+        id_start, id_end = id_bounds[0], id_bounds[1]
+        N = lanes
+
+        def fresh(ids):
+            """Camera-ray lane state for (pixel, sample) ids — identical
+            computations to trace_paths' prologue."""
+            pix = (ids % npix).astype(jnp.int32)
+            sid = (ids // npix).astype(jnp.int32)
+            keys = rng.sample_key(base_key, pix, sid)
+            jitter = rng.uniform(keys, rng.D_PIXEL_JITTER, 2)
+            u_spec = rng.uniform(keys, rng.D_SPECTRUM, 2)
+            e0, _ = sp.sample_emitter(u_spec[:, 0])
+            k, _ = sp.sample_k(e0, u_spec[:, 1])
+            p_k = sp.joint_spectral_density(k)
+            w_spectral = 1.0 / jnp.maximum(p_k, 1e-30)
+            pxy = jnp.stack([pix % W, pix // W], axis=-1)
+            ro, rd, _ = sensor.generate_rays(pxy, jitter)
+            M0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                  (N, 4, 4)) * sensor.importance()
+            sens = sensor.response.sensitivities(k, tables.spectra, None)
+            ps = dict(ro=ro, rd=rd, M=M0, xf=_perp_axis(-rd),
+                      L=jnp.zeros((N, 4), jnp.float32),
+                      active=jnp.ones((N,), bool),
+                      exclude=jnp.full((N,), -1, jnp.int32),
+                      prev_pdf=jnp.zeros((N,), jnp.float32),
+                      prev_specular=jnp.ones((N,), bool))
+            meta = dict(keys=keys, k=k, w_spectral=w_spectral, sens=sens,
+                        splat_pos=pxy.astype(jnp.float32) + jitter,
+                        depth=jnp.zeros((N,), jnp.int32))
+            return ps, meta
+
+        def to_values(ps, meta):
+            Lw = ps["L"] * meta["w_spectral"][:, None]
+            if polarimetric:
+                return (Lw[:, None, :]
+                        * meta["sens"][..., None]).reshape(N, -1)
+            return Lw[:, 0:1] * meta["sens"]
+
+        # start with an empty (all-dead, nothing pending) pool; the first
+        # loop iteration fills it
+        ps0, meta0 = fresh(jnp.zeros((N,), jnp.int32))
+        ps0["active"] = jnp.zeros((N,), bool)
+        ps0["stats"] = jnp.zeros((N_STATS,), jnp.float32)
+        ps0["dbg"] = jnp.zeros((max_depth, 2), jnp.float32)
+        state = dict(ps=ps0, meta=meta0, film=film,
+                     pending=jnp.zeros((N,), bool),
+                     next_id=jnp.asarray(id_start, jnp.int32))
+
+        def cond(c):
+            return jnp.any(c["ps"]["active"]) | (c["next_id"] < id_end)
+
+        def body(c):
+            ps, meta = c["ps"], c["meta"]
+            dead = ~ps["active"]
+            # 1. splat finished lanes
+            film = film_mod.splat(c["film"], meta["splat_pos"],
+                                  to_values(ps, meta),
+                                  dead & c["pending"])
+            pending = c["pending"] & ~dead
+            # 2. refill dead lanes with the next ids
+            ranks = jnp.cumsum(dead.astype(jnp.int32)) - 1
+            new_id = c["next_id"] + ranks
+            take = dead & (new_id < id_end)
+            f_ps, f_meta = fresh(jnp.where(take, new_id, 0))
+            def sel(n, o):
+                if n.ndim == 0:      # scalar stream constants
+                    return n
+                return jnp.where(
+                    take.reshape((N,) + (1,) * (n.ndim - 1)), n, o)
+            for key_ in ("ro", "rd", "M", "xf", "L", "exclude",
+                         "prev_pdf", "prev_specular"):
+                ps[key_] = sel(f_ps[key_], ps[key_])
+            ps["active"] = ps["active"] | take
+            meta = jax.tree.map(sel, f_meta, meta)
+            pending = pending | take
+            next_id = jnp.minimum(
+                c["next_id"] + jnp.sum(dead.astype(jnp.int32)),
+                jnp.asarray(id_end, jnp.int32))
+            # 3. one bounce for the whole pool
+            dkeys = rng.depth_key_v(meta["keys"], meta["depth"])
+            ps = classical_bounce(data, ps, dkeys, meta["k"],
+                                  meta["depth"], eps=eps, mis=mis,
+                                  rr_depth=rr_depth, rr_floor=rr_floor,
+                                  with_stats=with_stats)
+            meta["depth"] = jnp.where(ps["active"], meta["depth"] + 1,
+                                      meta["depth"])
+            # depth cap = the batched renderer's max_depth
+            ps["active"] = ps["active"] & (meta["depth"] < max_depth)
+            return dict(ps=ps, meta=meta, film=film, pending=pending,
+                        next_id=next_id)
+
+        out = jax.lax.while_loop(cond, body, state)
+        # final splat: lanes that died on the last bounce
+        film = film_mod.splat(out["film"], out["meta"]["splat_pos"],
+                              to_values(out["ps"], out["meta"]),
+                              out["pending"])
+        return film, out["ps"]["stats"]
+
+    return kern

@@ -106,7 +106,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
     def shadow_pt(a, b, ex1, ex2):
         """Occlusion between two points (both (N, 3))."""
         d = b - a
-        dist = jnp.linalg.norm(d, axis=-1)
+        dist = vec.safe_length(d)
         dn = d / jnp.maximum(dist, 1e-20)[:, None]
         return trace_mod.occluded(geo, a, dn, jnp.full((N,), eps),
                                   dist - 2.0 * eps, ex1, ex2)
@@ -193,7 +193,7 @@ def trace_paths_wave(data, pixel_xy, jitter, base_key, sample_ids, *,
                 hit.tri,
             ], axis=0)
             seg = b_pts - a_pts
-            seg_d = jnp.linalg.norm(seg, axis=-1)
+            seg_d = vec.safe_length(seg)
             seg_n = seg / jnp.maximum(seg_d, 1e-20)[:, None]
             occ_all = trace_mod.occluded(
                 geo, a_pts, seg_n, jnp.full((a_pts.shape[0],), eps),

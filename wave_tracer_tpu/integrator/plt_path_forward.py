@@ -234,7 +234,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         u_sn = rng.uniform(dkeys, rng.D_SENSOR, 2)
         sp_pt, sp_pxy, _, _ = sensor.sample_point(u_sn)
         nee_dir = sp_pt - wp
-        nee_dist = jnp.linalg.norm(nee_dir, axis=-1)
+        nee_dist = vec.safe_length(nee_dir)
         nee_dirn = nee_dir / jnp.maximum(nee_dist, 1e-20)[:, None]
         nee_cos = -vec.dot(nee_dirn, jnp.broadcast_to(plane_n, (N, 3)))
 
@@ -260,7 +260,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             b_all = jnp.concatenate([b[1] for b in blocks], axis=0)
             ex2_all = jnp.concatenate([b[2] for b in blocks], axis=0)
             seg = b_all - a_all
-            seg_d = jnp.linalg.norm(seg, axis=-1)
+            seg_d = vec.safe_length(seg)
             seg_n = seg / jnp.maximum(seg_d, 1e-20)[:, None]
             occ_all = trace_mod.occluded(
                 geo, a_all, seg_n, jnp.full((a_all.shape[0],), eps),

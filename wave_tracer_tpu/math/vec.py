@@ -19,6 +19,19 @@ def length2(a):
     return jnp.sum(a * a, axis=-1)
 
 
+def safe_length(a, eps: float = 1e-30):
+    """|a| with a tiny positive floor under the sqrt: d(sqrt)/dx at 0 is
+    inf, so an exactly-zero vector (degenerate/invalid lanes) poisons
+    JVP/VJP tangents with inf·0 = NaN even when nothing differentiable
+    feeds it. Use this in any differentiated transport path."""
+    return jnp.sqrt(jnp.maximum(length2(a), eps))
+
+
+def safe_sqrt(x, eps: float = 1e-30):
+    """sqrt with an epsilon floor (NaN-free gradients at 0)."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def length(a):
     return jnp.sqrt(length2(a))
 

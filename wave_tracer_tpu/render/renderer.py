@@ -56,6 +56,10 @@ class Renderer:
     # checkpoint/resume of interrupted renders
     last_film: object = None
     last_spp_done: int = 0
+    # persistent-wavefront lane compaction for the classical kernel
+    # (integrator/path_compact.py): dead lanes refill instead of riding
+    # the depth loop — ~1.5-2x throughput at depth 8 with RR
+    compact: bool = True
 
     def render_sensor(self, sensor_index: int = 0, spp: int | None = None,
                       progress=None, init_film=None, spp_start: int = 0):
@@ -104,6 +108,11 @@ class Renderer:
         bdpt = (cfg.type == "plt_bdpt"
                 and not sensor.ray_trace_only and not cfg.ray_trace_only)
         wave = fsd_on and not bdpt
+
+        if self.compact and not wave and not bdpt:
+            return self._render_backward_compact(
+                data, sensor, spp, progress, film, base_key, cfg, eps,
+                spp_start)
 
         npixels = W * H
         lanes = self.batch_lanes
@@ -186,6 +195,58 @@ class Renderer:
         # (bdpt does not carry device counters yet — skip the all-zero
         # vector rather than report it as measured)
         if dev_stats is not None and not bdpt:
+            out["device_counters"] = _record_device_stats(
+                np.asarray(dev_stats))
+        return img, out
+
+    # ------------------------------------------------------------------
+    def _render_backward_compact(self, data, sensor, spp, progress, film,
+                                 base_key, cfg, eps, spp_start: int = 0):
+        """Classical backward render through the persistent compacted
+        wavefront (one while_loop dispatch per spp chunk)."""
+        from wave_tracer_tpu.integrator.path_compact import (
+            make_compact_kernel)
+        W, H = sensor.width, sensor.height
+        npixels = W * H
+        lanes = min(self.batch_lanes, 1 << 14)
+        key = ("compact", id(sensor), cfg.max_depth, float(eps),
+               bool(cfg.mis))
+        if key in _kernel_cache:
+            kern = _kernel_cache[key][1]
+        else:
+            kern = make_compact_kernel(sensor, cfg.max_depth, eps,
+                                       cfg.mis)
+            _kernel_cache[key] = (sensor, kern)
+
+        # chunk by spp for interrupt/progress granularity
+        spp_chunk = max(1, -(-spp // 8)) if self.interrupt else spp
+        t0 = time.time()
+        total_lanes = 0
+        spp_done = spp_start
+        kst_list = []
+        for s0 in range(spp_start, spp, spp_chunk):
+            s1 = min(s0 + spp_chunk, spp)
+            bounds = jnp.asarray([s0 * npixels, s1 * npixels], jnp.int32)
+            film, kst = kern(data, film, base_key, bounds, lanes)
+            kst_list.append(kst)
+            total_lanes += (s1 - s0) * npixels
+            spp_done = s1
+            if progress:
+                progress(s1, spp)
+            if self._poll_interrupt(film, spp_done, 0.0):
+                break
+        film.value.block_until_ready()
+        self.last_film = film
+        self.last_spp_done = spp_done
+        dt = time.time() - t0
+        img = np.asarray(film_mod.develop(film, 0.0))
+        out = dict(seconds=dt, paths=total_lanes,
+                   paths_per_sec=total_lanes / max(dt, 1e-9),
+                   mode="ray-compact", spp_done=spp_done,
+                   interrupted=spp_done < spp)
+        dev_stats = jnp.sum(jnp.stack(kst_list), axis=0) \
+            if kst_list else None
+        if dev_stats is not None:
             out["device_counters"] = _record_device_stats(
                 np.asarray(dev_stats))
         return img, out

@@ -69,6 +69,16 @@ def depth_key(stream, depth):
             "d": d}
 
 
+def depth_key_v(stream, depth):
+    """depth_key with a PER-LANE depth vector (compacted wavefronts where
+    each lane sits at its own bounce). Identical streams to depth_key for
+    equal depth values."""
+    k = jax.vmap(jax.random.fold_in)(stream["key"],
+                                     depth.astype(jnp.uint32))
+    return {"key": k, "idx": stream["idx"], "strm": stream["strm"],
+            "d": depth.astype(jnp.uint32)}
+
+
 def _threefry_uniform(keys, salt: int, n: int | None):
     def draw(k):
         kk = jax.random.fold_in(k, salt)

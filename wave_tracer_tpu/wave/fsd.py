@@ -86,7 +86,7 @@ def build_aperture(edges: EdgeTable, idx, wp, wi, region_radius
     tproj = jnp.sum(w * e_dir, axis=-1)
     d2 = jnp.sum(w * w, axis=-1) - tproj ** 2
     r2 = (region_radius[:, None]) ** 2
-    span = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+    span = vec.safe_sqrt(r2 - d2, 1e-30)
     tlo = jnp.clip(tproj - span, 0.0, L)
     thi = jnp.clip(tproj + span, 0.0, L)
     ok &= (thi - tlo) > 1e-9
@@ -125,8 +125,8 @@ def fsd_eval(ap: FsdAperture, k, src, dst):
         | (jnp.sum(ui * ap.nbf, axis=-1) > 0)
     side_o = (jnp.sum(uo * ap.nff, axis=-1) > 0) \
         | (jnp.sum(uo * ap.nbf, axis=-1) > 0)
-    ri = jnp.linalg.norm(ui, axis=-1)
-    ro = jnp.linalg.norm(uo, axis=-1)
+    ri = vec.safe_length(ui)
+    ro = vec.safe_length(uo)
     wi = ui / jnp.maximum(ri, 1e-20)[..., None]
     wo = uo / jnp.maximum(ro, 1e-20)[..., None]   # p → dst
     Ds, Dh = utd.utd_coefficients(k[:, None], wi, wo, ro, e, ap.tff,
@@ -141,7 +141,7 @@ def coherent_sum(ev, k, src, dst, direct_visible, edge_unshadowed=None):
     """Σ_edges e^{-ik·d}·D + direct term (plt_path_detail.hpp do_fsd,
     :311-346). Phases are computed relative to the direct path length so
     the f32 arguments stay small. Returns (ts, th) complex (N,)."""
-    d_ref = jnp.linalg.norm(dst - src, axis=-1)
+    d_ref = vec.safe_length(dst - src)
     d_e = ev["ri"] + ev["ro"]
     dphase = (d_e - d_ref[:, None]) * k[:, None]
     ok = ev["valid"]
@@ -195,7 +195,7 @@ def fsd_sample(ap: FsdAperture, k, src, wp, u4):
     p = v + ((u4[:, 1] - 0.5) * 2.0 * hl)[:, None] * e
     ui = src - p
     okside = (vec.dot(ui, nff) > 0) | (vec.dot(ui, nbf) > 0)
-    ri = jnp.linalg.norm(ui, axis=-1)
+    ri = vec.safe_length(ui)
     wi = ui / jnp.maximum(ri, 1e-20)[:, None]
 
     phii = jnp.arctan2(vec.dot(nff, wi), vec.dot(tff, wi))
@@ -207,7 +207,7 @@ def fsd_sample(ap: FsdAperture, k, src, wp, u4):
     phio = mean_phi + sigma * gauss
 
     cos_beta = vec.dot(wi, e)
-    sin_beta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_beta ** 2))
+    sin_beta = vec.safe_sqrt(1.0 - cos_beta ** 2, 1e-24)
     wo = (sin_beta * jnp.cos(phio))[:, None] * tff \
         + (sin_beta * jnp.sin(phio))[:, None] * nff \
         - cos_beta[:, None] * e
@@ -240,7 +240,7 @@ def fsd_pdf(ap: FsdAperture, k, src, wo):
             | (jnp.sum(wo_e * ap.nbf, axis=-1) > 0)) \
         & ((jnp.sum(ui * ap.nff, axis=-1) > 0)
            | (jnp.sum(ui * ap.nbf, axis=-1) > 0))
-    ri = jnp.linalg.norm(ui, axis=-1)
+    ri = vec.safe_length(ui)
     wi = ui / jnp.maximum(ri, 1e-20)[..., None]
     phii = jnp.arctan2(jnp.sum(ap.nff * wi, axis=-1),
                        jnp.sum(ap.tff * wi, axis=-1))

@@ -40,8 +40,8 @@ def fermat_point_to(v, e, tff, nff, half_l, src, dst):
     (utd.hpp diffraction_point(src, dst)). Returns (p, valid)."""
     sv = src - v
     dv = dst - v
-    sl = jnp.sqrt(vec.dot(sv, tff) ** 2 + vec.dot(sv, nff) ** 2)
-    dl = jnp.sqrt(vec.dot(dv, tff) ** 2 + vec.dot(dv, nff) ** 2)
+    sl = vec.safe_sqrt(vec.dot(sv, tff) ** 2 + vec.dot(sv, nff) ** 2)
+    dl = vec.safe_sqrt(vec.dot(dv, tff) ** 2 + vec.dot(dv, nff) ** 2)
     t = vec.dot(e, sv) + vec.dot(dst - src, e) * sl \
         / jnp.maximum(sl + dl, 1e-30)
     valid = jnp.abs(t) <= half_l
@@ -54,9 +54,9 @@ def fermat_point_dir(v, e, tff, nff, half_l, src, wo):
     """Fermat point for src → direction wo (utd.hpp diffraction_point(src,
     wo)). Returns (p, valid)."""
     cos_beta = vec.dot(wo, e)
-    sin_beta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_beta ** 2))
+    sin_beta = vec.safe_sqrt(1.0 - cos_beta ** 2, 1e-24)
     sv = src - v
-    sl = jnp.sqrt(vec.dot(sv, tff) ** 2 + vec.dot(sv, nff) ** 2)
+    sl = vec.safe_sqrt(vec.dot(sv, tff) ** 2 + vec.dot(sv, nff) ** 2)
     prj = v + vec.dot(sv, e)[..., None] * e
     p = prj + (sl * cos_beta / jnp.maximum(sin_beta, 1e-20))[..., None] * e
     valid = (sin_beta >= UTD_MIN_SIN_BETA) \
@@ -76,7 +76,7 @@ def utd_coefficients(k, wi, wo, ro, e, tff, nff, alpha):
 
     cos_bi = vec.dot(wi, e)
     sin_beta2 = jnp.maximum(0.0, 1.0 - cos_bi ** 2)
-    sin_beta = jnp.sqrt(sin_beta2)
+    sin_beta = vec.safe_sqrt(sin_beta2, 1e-24)
     phii = jnp.arctan2(vec.dot(nff, wi), vec.dot(tff, wi))
     phio = jnp.arctan2(vec.dot(nff, wo), vec.dot(tff, wo))
 
