@@ -51,13 +51,15 @@ def child():
     LANES = 1 << 14
 
     # ---- headline: wave-optical transport (plt_path + UTD FSD,
-    # hybrid ballistic/diffusive cone traversal)
+    # hybrid ballistic/diffusive cone traversal). Warm-up and timed
+    # renders use the SAME spp so the compiled kernel (shape depends on
+    # the pixel batching) is reused.
     scene = _load_box({"res": "256", "spp": "16"})
     scene.integrator.max_depth = 8
     scene.integrator.type = "plt_path"
     scene.integrator.fsd = True
     built = build_scene(scene)
-    img, stats = render_scene(built, spp=1, batch_lanes=LANES,
+    img, stats = render_scene(built, spp=2, batch_lanes=LANES,
                               fuse_batches=False)
     print("PARTIAL wave", stats["paths_per_sec"], flush=True)
     img, stats = render_scene(built, spp=2, batch_lanes=LANES,
@@ -68,7 +70,7 @@ def child():
     # ---- secondary: classical kernel (compacted persistent wavefront)
     scene.integrator.fsd = False
     built = build_scene(scene)
-    img, stats = render_scene(built, spp=4, batch_lanes=LANES,
+    img, stats = render_scene(built, spp=2, batch_lanes=LANES,
                               fuse_batches=False)
     print("PARTIAL classical", stats["paths_per_sec"], flush=True)
     img, stats = render_scene(built, spp=16, batch_lanes=LANES,

@@ -117,7 +117,7 @@ def _has_transmission(eta12):
     return jnp.imag(eta12) ** 2 / jnp.maximum(n2, 1e-20) <= 1e-2
 
 
-def sample(tables: Tables, mat_id, wi, uv, k, u4):
+def sample(tables: Tables, mat_id, wi, uv, k, u4, duv=None):
     """Sample all lanes' BSDFs. u4 (N, 4) uniforms. Returns BsdfSample."""
     mat = tables.materials
     eff = mat.resolve(mat_id, k)
@@ -143,7 +143,7 @@ def sample(tables: Tables, mat_id, wi, uv, k, u4):
 
     # ---- diffuse
     refl = jnp.clip(eval_texture_scalar(tables.textures, tables.spectra,
-                                        refl_tex, uv, k), 0.0, 1.0)
+                                        refl_tex, uv, k, duv), 0.0, 1.0)
     wo_d = warps.cosine_hemisphere(u4[..., 2:4])
     pdf_d = warps.cosine_hemisphere_pdf(wo_d[..., 2])
     Mw_d = mueller.depolarizer(refl * scale)
@@ -298,7 +298,7 @@ def sample(tables: Tables, mat_id, wi, uv, k, u4):
                       refracted=refracted, valid=valid)
 
 
-def eval_f(tables: Tables, mat_id, wi, wo, uv, k):
+def eval_f(tables: Tables, mat_id, wi, wo, uv, k, duv=None):
     """Evaluate non-delta BSDF lobes: returns (M (N,4,4), pdf (N,)).
 
     M includes the |wo.z| cosine (reference bsdf_t::f convention); pdf is
@@ -323,7 +323,7 @@ def eval_f(tables: Tables, mat_id, wi, wo, uv, k):
     # diffuse
     refl = jnp.clip(eval_texture_scalar(
         tables.textures, tables.spectra,
-        row[:, mat.C_REFL_TEX].astype(i32), uv, k), 0.0, 1.0)
+        row[:, mat.C_REFL_TEX].astype(i32), uv, k, duv), 0.0, 1.0)
     both_up = (wi_l[..., 2] > 0) & (wo_l[..., 2] > 0)
     f_d = jnp.where(both_up, wo_l[..., 2] * INV_PI * refl * scale, 0.0)
     M_d = mueller.depolarizer(f_d)
@@ -405,7 +405,7 @@ def vecz(v):
     return v[..., 2]
 
 
-def apply_normalmap(tables: Tables, mat_id, uv, k, sf):
+def apply_normalmap(tables: Tables, mat_id, uv, k, sf, duv=None):
     """Perturb a shading frame by the material's normal map (reference
     include/wt/bsdf/normalmap.hpp). Returns the (possibly) new frame."""
     from wave_tracer_tpu.math import frame as frame_mod
@@ -413,7 +413,8 @@ def apply_normalmap(tables: Tables, mat_id, uv, k, sf):
     mat = tables.materials
     eff = jnp.maximum(mat.resolve(mat_id, k), 0)
     tex = mat.pack[eff, mat.C_NORMALMAP_TEX].astype(jnp.int32)
-    rgb = eval_texture_rgb(tables.textures, tables.spectra, tex, uv)
+    rgb = eval_texture_rgb(tables.textures, tables.spectra, tex, uv,
+                           duv)
     n_local = 2.0 * rgb - 1.0
     n_local = n_local / jnp.maximum(
         jnp.linalg.norm(n_local, axis=-1, keepdims=True), 1e-6)

@@ -26,13 +26,19 @@ from wave_tracer_tpu.integrator.path import (N_STATS, _perp_axis,
                                              classical_bounce)
 from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.sensor import film as film_mod
+from wave_tracer_tpu.wave import envelope as env_mod
+from wave_tracer_tpu.wave import fsd as fsd_mod
 
 
 def make_compact_kernel(sensor, max_depth, eps, mis, *, rr_depth=3,
-                        rr_floor=0.5, with_stats=True):
-    """Returns a jitted kernel: (data, film, base_key, id_start, id_end,
+                        rr_floor=0.5, with_stats=True, wave=False,
+                        fsd=True, K=8):
+    """Returns a jitted kernel: (data, film, base_key, id_bounds,
     lanes[static]) → (film, stats). Ids enumerate (pixel, sample) pairs
-    as id = sid·npixels + pixel."""
+    as id = sid·npixels + pixel. wave=True runs the wave-optical bounce
+    (hybrid cone traversal + deferred coherent FSD) in the same
+    persistent pool."""
+    from wave_tracer_tpu.integrator.plt_path import wave_bounce
     W, H = sensor.width, sensor.height
     npix = W * H
     polarimetric = bool(getattr(sensor, "polarimetric", False))
@@ -57,7 +63,7 @@ def make_compact_kernel(sensor, max_depth, eps, mis, *, rr_depth=3,
             p_k = sp.joint_spectral_density(k)
             w_spectral = 1.0 / jnp.maximum(p_k, 1e-30)
             pxy = jnp.stack([pix % W, pix // W], axis=-1)
-            ro, rd, _ = sensor.generate_rays(pxy, jitter)
+            ro, rd, pixel_tan_alpha = sensor.generate_rays(pxy, jitter)
             M0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                                   (N, 4, 4)) * sensor.importance()
             sens = sensor.response.sensitivities(k, tables.spectra, None)
@@ -67,6 +73,15 @@ def make_compact_kernel(sensor, max_depth, eps, mis, *, rr_depth=3,
                       exclude=jnp.full((N,), -1, jnp.int32),
                       prev_pdf=jnp.zeros((N,), jnp.float32),
                       prev_specular=jnp.ones((N,), bool))
+            if wave:
+                # the wave bounce's extra beam state (trace_paths_wave
+                # prologue): elliptic envelope + deferred FSD carry
+                ps.update(
+                    env=env_mod.initial(rd, 0.0, 0.5 * pixel_tan_alpha),
+                    fsd_ap=fsd_mod.empty_aperture(N, K),
+                    fsd_valid=jnp.zeros((N,), bool),
+                    sampled_fsd=jnp.zeros((N,), bool),
+                    prev_vert=ro, M_prev=M0)
             meta = dict(keys=keys, k=k, w_spectral=w_spectral, sens=sens,
                         splat_pos=pxy.astype(jnp.float32) + jitter,
                         depth=jnp.zeros((N,), jnp.int32))
@@ -84,7 +99,8 @@ def make_compact_kernel(sensor, max_depth, eps, mis, *, rr_depth=3,
         ps0, meta0 = fresh(jnp.zeros((N,), jnp.int32))
         ps0["active"] = jnp.zeros((N,), bool)
         ps0["stats"] = jnp.zeros((N_STATS,), jnp.float32)
-        ps0["dbg"] = jnp.zeros((max_depth, 2), jnp.float32)
+        if not wave:
+            ps0["dbg"] = jnp.zeros((max_depth, 2), jnp.float32)
         state = dict(ps=ps0, meta=meta0, film=film,
                      pending=jnp.zeros((N,), bool),
                      next_id=jnp.asarray(id_start, jnp.int32))
@@ -110,9 +126,10 @@ def make_compact_kernel(sensor, max_depth, eps, mis, *, rr_depth=3,
                     return n
                 return jnp.where(
                     take.reshape((N,) + (1,) * (n.ndim - 1)), n, o)
-            for key_ in ("ro", "rd", "M", "xf", "L", "exclude",
-                         "prev_pdf", "prev_specular"):
-                ps[key_] = sel(f_ps[key_], ps[key_])
+            for key_ in f_ps:
+                if key_ == "active":
+                    continue
+                ps[key_] = jax.tree.map(sel, f_ps[key_], ps[key_])
             ps["active"] = ps["active"] | take
             meta = jax.tree.map(sel, f_meta, meta)
             pending = pending | take
@@ -121,10 +138,18 @@ def make_compact_kernel(sensor, max_depth, eps, mis, *, rr_depth=3,
                 jnp.asarray(id_end, jnp.int32))
             # 3. one bounce for the whole pool
             dkeys = rng.depth_key_v(meta["keys"], meta["depth"])
-            ps = classical_bounce(data, ps, dkeys, meta["k"],
-                                  meta["depth"], eps=eps, mis=mis,
-                                  rr_depth=rr_depth, rr_floor=rr_floor,
-                                  with_stats=with_stats)
+            if wave:
+                ps = wave_bounce(data, data.edges, ps, dkeys, meta["k"],
+                                 meta["depth"], eps=eps, mis=mis,
+                                 fsd=fsd, K=K, rr_depth=rr_depth,
+                                 rr_floor=rr_floor,
+                                 with_stats=with_stats)
+            else:
+                ps = classical_bounce(data, ps, dkeys, meta["k"],
+                                      meta["depth"], eps=eps, mis=mis,
+                                      rr_depth=rr_depth,
+                                      rr_floor=rr_floor,
+                                      with_stats=with_stats)
             meta["depth"] = jnp.where(ps["active"], meta["depth"] + 1,
                                       meta["depth"])
             # depth cap = the batched renderer's max_depth

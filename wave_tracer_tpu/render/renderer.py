@@ -109,10 +109,16 @@ class Renderer:
                 and not sensor.ray_trace_only and not cfg.ray_trace_only)
         wave = fsd_on and not bdpt
 
-        if self.compact and not wave and not bdpt:
+        # wave-compact is opt-in: the axon TPU backend wedges compiling
+        # the wave bounce inside the persistent while_loop (classical
+        # compiles in ~40 s and runs 4x faster than batched)
+        import os
+        wave_compact_ok = os.environ.get("WT_WAVE_COMPACT", "0") == "1" \
+            or jax.devices()[0].platform.lower() == "cpu"
+        if self.compact and not bdpt and (not wave or wave_compact_ok):
             return self._render_backward_compact(
                 data, sensor, spp, progress, film, base_key, cfg, eps,
-                spp_start)
+                spp_start, wave=wave, fsd=fsd_on)
 
         npixels = W * H
         lanes = self.batch_lanes
@@ -201,21 +207,22 @@ class Renderer:
 
     # ------------------------------------------------------------------
     def _render_backward_compact(self, data, sensor, spp, progress, film,
-                                 base_key, cfg, eps, spp_start: int = 0):
-        """Classical backward render through the persistent compacted
-        wavefront (one while_loop dispatch per spp chunk)."""
+                                 base_key, cfg, eps, spp_start: int = 0,
+                                 wave: bool = False, fsd: bool = True):
+        """Classical/wave backward render through the persistent
+        compacted wavefront (one while_loop dispatch per spp chunk)."""
         from wave_tracer_tpu.integrator.path_compact import (
             make_compact_kernel)
         W, H = sensor.width, sensor.height
         npixels = W * H
         lanes = min(self.batch_lanes, 1 << 14)
         key = ("compact", id(sensor), cfg.max_depth, float(eps),
-               bool(cfg.mis))
+               bool(cfg.mis), bool(wave), bool(fsd))
         if key in _kernel_cache:
             kern = _kernel_cache[key][1]
         else:
             kern = make_compact_kernel(sensor, cfg.max_depth, eps,
-                                       cfg.mis)
+                                       cfg.mis, wave=wave, fsd=fsd)
             _kernel_cache[key] = (sensor, kern)
 
         # chunk by spp for interrupt/progress granularity
@@ -242,7 +249,8 @@ class Renderer:
         img = np.asarray(film_mod.develop(film, 0.0))
         out = dict(seconds=dt, paths=total_lanes,
                    paths_per_sec=total_lanes / max(dt, 1e-9),
-                   mode="ray-compact", spp_done=spp_done,
+                   mode="wave-compact" if wave else "ray-compact",
+                   spp_done=spp_done,
                    interrupted=spp_done < spp)
         dev_stats = jnp.sum(jnp.stack(kst_list), axis=0) \
             if kst_list else None

@@ -70,6 +70,9 @@ class CheckerboardTexture(Texture):
     scale_spectrum: Optional[Spectrum] = None
 
 
+MAX_MIPS = 8
+
+
 @struct.dataclass
 class TextureTable:
     type: jnp.ndarray        # (T,) i32
@@ -80,8 +83,13 @@ class TextureTable:
     uv_xform: jnp.ndarray    # (T, 4) scale.xy, offset.xy
     scale: jnp.ndarray       # (T,)
     atlas_slot: jnp.ndarray  # (T,) i32 (or -1)
-    atlas: jnp.ndarray       # (A, HMAX, WMAX, 3)
-    atlas_size: jnp.ndarray  # (A, 2) i32 (h, w)
+    # mip pyramid packed along x: level 0 at x=0 (w), level L at
+    # x = ox_L (w/2^L) — (A, HMAX, 2*WMAX, 3); box-filtered downsamples
+    # (the reference builds avir-resampled mipmaps, texture2d.hpp)
+    atlas: jnp.ndarray       # (A, HMAX, 2*WMAX, 3)
+    atlas_size: jnp.ndarray  # (A, 2) i32 (h, w) of level 0
+    mip_info: jnp.ndarray    # (A, MAX_MIPS, 3) i32: ox, h, w per level
+    n_mips: jnp.ndarray      # (A,) i32
     pack: jnp.ndarray        # (T, 16): type spec sscale rgb3 rgb2_3
                              # uv_xform4 scale atlas_slot — one row
                              # gather per texture eval
@@ -104,15 +112,39 @@ def bake_textures(textures: list[Texture],
     if bitmaps:
         hmax = max(b.data.shape[0] for b in bitmaps)
         wmax = max(b.data.shape[1] for b in bitmaps)
-        atlas = np.zeros((len(bitmaps), hmax, wmax, 3), np.float32)
+        atlas = np.zeros((len(bitmaps), hmax, 2 * wmax, 3), np.float32)
         sizes = np.zeros((len(bitmaps), 2), np.int32)
+        mip_info = np.zeros((len(bitmaps), MAX_MIPS, 3), np.int32)
+        n_mips = np.zeros(len(bitmaps), np.int32)
         for a, b in enumerate(bitmaps):
-            h, w = b.data.shape[:2]
-            atlas[a, :h, :w] = b.data[..., :3]
+            img = np.asarray(b.data[..., :3], np.float32)
+            h, w = img.shape[:2]
             sizes[a] = (h, w)
+            ox = 0
+            for lvl in range(MAX_MIPS):
+                lh, lw = img.shape[:2]
+                atlas[a, :lh, ox:ox + lw] = img
+                mip_info[a, lvl] = (ox, lh, lw)
+                n_mips[a] = lvl + 1
+                if lh <= 1 and lw <= 1:
+                    break
+                # 2x2 box downsample (pad odd dims by edge replication)
+                if lh % 2:
+                    img = np.concatenate([img, img[-1:]], axis=0)
+                if lw % 2:
+                    img = np.concatenate([img, img[:, -1:]], axis=1)
+                img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                              + img[0::2, 1::2] + img[1::2, 1::2])
+                ox += lw
+            # unfilled deeper levels repeat the last one
+            for lvl in range(n_mips[a], MAX_MIPS):
+                mip_info[a, lvl] = mip_info[a, n_mips[a] - 1]
     else:
-        atlas = np.zeros((1, 1, 1, 3), np.float32)
+        atlas = np.zeros((1, 1, 2, 3), np.float32)
         sizes = np.ones((1, 2), np.int32)
+        mip_info = np.zeros((1, MAX_MIPS, 3), np.int32)
+        mip_info[..., 1:] = 1
+        n_mips = np.ones(1, np.int32)
 
     slot_of = {id(b): a for a, b in enumerate(bitmaps)}
     for i, t in enumerate(textures):
@@ -152,14 +184,18 @@ def bake_textures(textures: list[Texture],
         sscale_id=jnp.asarray(sscale_id), rgb=jnp.asarray(rgb),
         rgb2=jnp.asarray(rgb2), uv_xform=jnp.asarray(uvx),
         scale=jnp.asarray(scale), atlas_slot=jnp.asarray(slots),
-        atlas=jnp.asarray(atlas), atlas_size=jnp.asarray(sizes))
+        atlas=jnp.asarray(atlas), atlas_size=jnp.asarray(sizes),
+        mip_info=jnp.asarray(mip_info), n_mips=jnp.asarray(n_mips))
 
 
-def _bilinear(table: TextureTable, slot, u, v):
-    """Bilinear atlas fetch; uv wraps (repeat)."""
-    slot = jnp.maximum(slot, 0)
-    h = table.atlas_size[slot, 0].astype(jnp.float32)
-    w = table.atlas_size[slot, 1].astype(jnp.float32)
+def _bilinear_level(table: TextureTable, slot, u, v, level):
+    """Bilinear fetch at one mip level (uv wraps/repeat)."""
+    info = table.mip_info[slot, level]            # (..., 3) ox, h, w
+    ox = info[..., 0]
+    hi = info[..., 1]
+    wi = info[..., 2]
+    h = hi.astype(jnp.float32)
+    w = wi.astype(jnp.float32)
     # image row 0 is the top; v=0 is the bottom of the texture
     x = (u % 1.0) * w - 0.5
     y = (1.0 - (v % 1.0)) * h - 0.5
@@ -167,12 +203,12 @@ def _bilinear(table: TextureTable, slot, u, v):
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
-    hi = table.atlas_size[slot, 0]
-    wi = table.atlas_size[slot, 1]
 
     def tex(yy, xx):
-        yy = jnp.clip(yy.astype(jnp.int32) % hi, 0, table.atlas.shape[1] - 1)
-        xx = jnp.clip(xx.astype(jnp.int32) % wi, 0, table.atlas.shape[2] - 1)
+        yy = jnp.clip(yy.astype(jnp.int32) % jnp.maximum(hi, 1), 0,
+                      table.atlas.shape[1] - 1)
+        xx = ox + xx.astype(jnp.int32) % jnp.maximum(wi, 1)
+        xx = jnp.clip(xx, 0, table.atlas.shape[2] - 1)
         return table.atlas[slot, yy, xx]
 
     fx = fx[..., None]
@@ -181,12 +217,34 @@ def _bilinear(table: TextureTable, slot, u, v):
             + (1 - fx) * fy * tex(y0 + 1, x0) + fx * fy * tex(y0 + 1, x0 + 1))
 
 
-def _eval_rgb_row(table: TextureTable, row, uv):
+def _bilinear(table: TextureTable, slot, u, v, duv=None):
+    """Filtered atlas fetch: trilinear across the box-filtered mip
+    pyramid when a uv-space footprint diameter `duv` is given (reference
+    texture2d mipmapped lookups), plain level-0 bilinear otherwise."""
+    slot = jnp.maximum(slot, 0)
+    if duv is None:
+        return _bilinear_level(table, slot, u, v,
+                               jnp.zeros_like(slot))
+    w0 = table.atlas_size[slot, 1].astype(jnp.float32)
+    lod = jnp.log2(jnp.maximum(duv * w0, 1.0))
+    nmax = (table.n_mips[slot] - 1).astype(jnp.float32)
+    lod = jnp.clip(lod, 0.0, nmax)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, nmax.astype(jnp.int32))
+    f = (lod - l0.astype(jnp.float32))[..., None]
+    return (1.0 - f) * _bilinear_level(table, slot, u, v, l0) \
+        + f * _bilinear_level(table, slot, u, v, l1)
+
+
+def _eval_rgb_row(table: TextureTable, row, uv, duv=None):
     """RGB value from a packed texture row (one gather done by caller)."""
     typ = row[..., 0].astype(jnp.int32)
     u = uv[..., 0] * row[..., 9] + row[..., 11]
     v = uv[..., 1] * row[..., 10] + row[..., 12]
-    bitmap = _bilinear(table, row[..., 14].astype(jnp.int32), u, v)
+    if duv is not None:
+        duv = duv * jnp.maximum(jnp.abs(row[..., 9]),
+                                jnp.abs(row[..., 10]))
+    bitmap = _bilinear(table, row[..., 14].astype(jnp.int32), u, v, duv)
     checker = jnp.where(
         (((jnp.floor(u) + jnp.floor(v)) % 2.0) < 1.0)[..., None],
         row[..., 3:6], row[..., 6:9])
@@ -197,23 +255,25 @@ def _eval_rgb_row(table: TextureTable, row, uv):
 
 
 def eval_texture_rgb(table: TextureTable, spec_table: SpectrumTable,
-                     tex_id, uv):
-    """RGB value of texture tex_id (...,) at uv (..., 2) → (..., 3)."""
+                     tex_id, uv, duv=None):
+    """RGB value of texture tex_id (...,) at uv (..., 2) → (..., 3).
+    duv: optional uv-space footprint diameter for mip filtering."""
     row = table.pack[jnp.maximum(tex_id, 0)]
-    return _eval_rgb_row(table, row, uv)
+    return _eval_rgb_row(table, row, uv, duv)
 
 
 def eval_texture_scalar(table: TextureTable, spec_table: SpectrumTable,
-                        tex_id, uv, k):
+                        tex_id, uv, k, duv=None):
     """Scalar spectral value of texture tex_id at uv and wavenumber k.
 
     RGB-typed texels are uplifted through the Smits basis; constant-spectrum
     textures evaluate their baked spectrum (reference texture_t::f,
-    texture.hpp:43-92). ONE packed row gather serves the whole eval."""
+    texture.hpp:43-92). ONE packed row gather serves the whole eval;
+    duv selects the mip level (trilinear) when given."""
     row = table.pack[jnp.maximum(tex_id, 0)]
     typ = row[..., 0].astype(jnp.int32)
     scale = row[..., 13]
-    rgbv = _eval_rgb_row(table, row, uv) \
+    rgbv = _eval_rgb_row(table, row, uv, duv) \
         / jnp.maximum(scale[..., None], 1e-30)
     from_rgb = smits_uplift_dev(rgbv, k)
     from_spec = spec_table.eval(row[..., 1].astype(jnp.int32), k)
