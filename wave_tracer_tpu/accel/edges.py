@@ -311,6 +311,112 @@ def edges_near_ray_clustered(edges: EdgeTable, clusters: EdgeClusters,
             valid.sum(axis=1).astype(jnp.int32))
 
 
+def _exact_cone_entries(ro, rd, env, p0, p1, zmax, zmin: float = 1e-7):
+    """Exact elliptic cone–edge entry distances for candidate segments
+    (reference intersect_cone_edge, cone.hpp:39-128). p0/p1 (N, J, 3);
+    returns (z (N, J), ok (N, J))."""
+    from wave_tracer_tpu.ops import cone_intersect as ci
+    N, J = p0.shape[:2]
+    xh = env.x
+    yh = jnp.cross(rd, xh)
+    ecc = env.e[:, None]
+
+    def to_local(p):
+        w = p - ro[:, None, :]
+        return jnp.stack([
+            jnp.sum(w * xh[:, None, :], axis=-1),
+            ecc * jnp.sum(w * yh[:, None, :], axis=-1),
+            jnp.sum(w * rd[:, None, :], axis=-1)], axis=-1)
+
+    A = to_local(p0)
+    B = to_local(p1)
+    z, _, ok = ci.cone_edge_entry(
+        env.x0[:, None], env.ta[:, None], A, B,
+        jnp.full((N, J), zmin), jnp.broadcast_to(zmax[:, None], (N, J)))
+    return z, ok
+
+
+def edges_near_cone(edges: EdgeTable, ro, rd, env, zmax, K: int,
+                    tile: int = 1024):
+    """EXACT elliptic cone-mode edge set: entry-distance-ordered top-K
+    (replaces the isotropic closest-approach approximation of
+    edges_near_ray when the full envelope state is available)."""
+    E = edges.count
+    N = ro.shape[0]
+    if E == 0:
+        return (jnp.full((N, K), -1, jnp.int32),
+                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    EP = max(tile, ((E + tile - 1) // tile) * tile)
+    pad = EP - E
+    p0 = jnp.pad(edges.p0, ((0, pad), (0, 0)))
+    p1 = jnp.pad(edges.p1, ((0, pad), (0, 0)))
+
+    def body(ci_idx, carry):
+        bz, bidx = carry
+        s = ci_idx * tile
+        tp0 = jax.lax.dynamic_slice(p0, (s, 0), (tile, 3))
+        tp1 = jax.lax.dynamic_slice(p1, (s, 0), (tile, 3))
+        z, ok = _exact_cone_entries(
+            ro, rd, env, jnp.broadcast_to(tp0[None], (N, tile, 3)),
+            jnp.broadcast_to(tp1[None], (N, tile, 3)), zmax)
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        zk = jnp.where(ok & (ids < E), z, jnp.inf)
+        cat_z = jnp.concatenate([bz, zk], axis=1)
+        cat_i = jnp.concatenate([bidx, jnp.broadcast_to(ids, zk.shape)],
+                                axis=1)
+        neg, sel = jax.lax.top_k(-cat_z, K)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((N, K), jnp.inf), jnp.full((N, K), -1, jnp.int32))
+    bz, bidx = jax.lax.fori_loop(0, EP // tile, body, init)
+    valid = jnp.isfinite(bz)
+    return (jnp.where(valid, bidx, -1), bz,
+            valid.sum(axis=1).astype(jnp.int32))
+
+
+def edges_near_cone_clustered(edges: EdgeTable, clusters: EdgeClusters,
+                              ro, rd, env, zmax, K: int,
+                              n_clusters: int = 8,
+                              edges_per_cluster: int = 64):
+    """Clustered exact cone-mode edge set: conservative major-axis
+    sphere prefilter (the isotropic bound encloses the elliptic
+    envelope), then exact cone–edge entries on the candidates."""
+    N = ro.shape[0]
+    if edges.count == 0:
+        return (jnp.full((N, K), -1, jnp.int32),
+                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    w = clusters.center[None, :, :] - ro[:, None, :]
+    zc = jnp.clip(jnp.sum(w * rd[:, None, :], axis=-1), 0.0, None)
+    closest = ro[:, None, :] + zc[..., None] * rd[:, None, :]
+    dist = jnp.linalg.norm(closest - clusters.center[None], axis=-1)
+    reach = env.x0[:, None] + env.ta[:, None] * zc \
+        + clusters.radius[None]
+    okc = (dist <= reach) & (zc - clusters.radius[None] <= zmax[:, None])
+    zk = jnp.where(okc, zc, jnp.inf)
+    negz, sel = jax.lax.top_k(-zk, n_clusters)
+    valid_cl = jnp.isfinite(-negz)
+
+    base = clusters.start[sel]
+    cnt = clusters.count[sel]
+    offs = jnp.arange(edges_per_cluster, dtype=jnp.int32)
+    cand = (base[..., None] + offs[None, None, :])
+    in_range = (offs[None, None, :] < cnt[..., None]) \
+        & valid_cl[..., None]
+    cand = jnp.clip(cand, 0, clusters.order.shape[0] - 1)
+    eidx = clusters.order[cand].reshape(N, -1)
+    in_range = in_range.reshape(N, -1)
+
+    z, ok = _exact_cone_entries(ro, rd, env, edges.p0[eidx],
+                                edges.p1[eidx], zmax)
+    zq = jnp.where(ok & in_range, z, jnp.inf)
+    negk, selk = jax.lax.top_k(-zq, K)
+    best_z = -negk
+    best_i = jnp.take_along_axis(eidx, selk, axis=1)
+    valid = jnp.isfinite(best_z)
+    return (jnp.where(valid, best_i, -1), best_z,
+            valid.sum(axis=1).astype(jnp.int32))
+
+
 def _lexless(a, b):
     """Lexicographic a < b over last axis (3 ints)."""
     lt = a[:, 0] < b[:, 0]

@@ -204,13 +204,12 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
             zmax = jnp.where(hit.valid, hit.t * 1.02 + env.x0,
                              8.0 * et.scene_radius)
             if int(edge_table.count) > 2048 and edge_clusters is not None:
-                eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
+                eidx, ez, ecnt = edges_mod.edges_near_cone_clustered(
                     edge_table, edge_clusters, st["ro"], st["rd"],
-                    env.x0, env.ta, zmax, K)
+                    env, zmax, K)
             else:
-                eidx, ez, ecnt = edges_mod.edges_near_ray(
-                    edge_table, st["ro"], st["rd"], env.x0,
-                    env.ta, zmax, K)
+                eidx, ez, ecnt = edges_mod.edges_near_cone(
+                    edge_table, st["ro"], st["rd"], env, zmax, K)
             have_edges = ecnt > 0
             z_first = jnp.where(have_edges, jnp.min(ez, axis=1), BIG)
             fp_hit = env.major(jnp.where(hit.valid, hit.t, 0.0))

@@ -191,13 +191,12 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                          8.0 * data.emitters.scene_radius)
         if fsd and edge_table.count > 0:
             if edge_table.count > 2048:
-                eidx, ez, ecnt = edges_mod.edges_near_ray_clustered(
+                eidx, ez, ecnt = edges_mod.edges_near_cone_clustered(
                     edge_table, data.edge_clusters, st["ro"], st["rd"],
-                    env.x0, env.ta, zmax, K)
+                    env, zmax, K)
             else:
-                eidx, ez, ecnt = edges_mod.edges_near_ray(
-                    edge_table, st["ro"], st["rd"], env.x0,
-                    env.ta, zmax, K)
+                eidx, ez, ecnt = edges_mod.edges_near_cone(
+                    edge_table, st["ro"], st["rd"], env, zmax, K)
         else:
             eidx = jnp.full((N, K), -1, jnp.int32)
             ez = jnp.full((N, K), jnp.inf)

@@ -217,7 +217,8 @@ class Renderer:
         npixels = W * H
         lanes = min(self.batch_lanes, 1 << 14)
         key = ("compact", id(sensor), cfg.max_depth, float(eps),
-               bool(cfg.mis), bool(wave), bool(fsd))
+               bool(cfg.mis), bool(wave), bool(fsd),
+               bool(getattr(sensor, "polarimetric", False)))
         if key in _kernel_cache:
             kern = _kernel_cache[key][1]
         else:
@@ -357,7 +358,8 @@ def make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt=False,
     Cached per (sensor, config) so repeated renders reuse the compiled
     executable."""
     key = ("bwd", id(sensor), max_depth, float(eps), bool(mis),
-           bool(wave), bool(bdpt), bool(bdpt_fsd))
+           bool(wave), bool(bdpt), bool(bdpt_fsd),
+           bool(getattr(sensor, "polarimetric", False)))
     if key in _kernel_cache:
         return _kernel_cache[key][1]
     kern = _make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt,
@@ -436,7 +438,8 @@ def _make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt,
 def make_forward_kernel(sensor, max_depth, eps, wave, fsd_mode="utd"):
     """Jitted forward launch: emit lanes, record plane crossings.
     Cached like make_render_kernel."""
-    key = ("fwd", id(sensor), max_depth, float(eps), bool(wave), fsd_mode)
+    key = ("fwd", id(sensor), max_depth, float(eps), bool(wave), fsd_mode,
+           bool(getattr(sensor, "polarimetric", False)))
     if key in _kernel_cache:
         return _kernel_cache[key][1]
     kern = _make_forward_kernel(sensor, max_depth, eps, wave, fsd_mode)
