@@ -62,7 +62,7 @@ def child():
     img, stats = render_scene(built, spp=2, batch_lanes=LANES,
                               fuse_batches=False)
     print("PARTIAL wave", stats["paths_per_sec"], flush=True)
-    img, stats = render_scene(built, spp=2, batch_lanes=LANES,
+    img, stats = render_scene(built, spp=8, batch_lanes=LANES,
                               fuse_batches=False)
     assert np.isfinite(img).all()
     print("RESULT wave", stats["paths_per_sec"], flush=True)
@@ -95,6 +95,19 @@ def child():
     assert np.isfinite(img).all()
     print("RESULT tri100k", stats["paths_per_sec"], flush=True)
 
+    # ---- secondary: WAVE kernel at ~100k triangles (clustered
+    # two-level cone/edge sweeps; reference wave renders of sponza-class
+    # scenes are exactly this regime)
+    scene.integrator.fsd = True
+    built = build_scene(scene)
+    img, stats = render_scene(built, spp=1, batch_lanes=LANES,
+                              fuse_batches=False)
+    print("PARTIAL wave100k", stats["paths_per_sec"], flush=True)
+    img, stats = render_scene(built, spp=4, batch_lanes=LANES,
+                              fuse_batches=False)
+    assert np.isfinite(img).all()
+    print("RESULT wave100k", stats["paths_per_sec"], flush=True)
+
 
 def main():
     proc = subprocess.Popen(
@@ -106,6 +119,10 @@ def main():
     except subprocess.TimeoutExpired:
         proc.kill()
         out, _ = proc.communicate()
+    # RESULT (the timed run, warm caches) wins; PARTIAL (the warm-up,
+    # including compile time in its window) is only a fallback for a
+    # child that wedged before finishing the timed pass.
+    partial = {}
     for line in (out or "").splitlines():
         parts = line.split()
         if len(parts) == 3 and parts[0] in ("PARTIAL", "RESULT"):
@@ -113,7 +130,12 @@ def main():
                 v = float(parts[2])
             except ValueError:
                 continue
-            best[parts[1]] = max(best.get(parts[1], 0.0), v)
+            if parts[0] == "RESULT":
+                best[parts[1]] = v
+            else:
+                partial[parts[1]] = v
+    for key_, v in partial.items():
+        best.setdefault(key_, v)
     wave = best.get("wave", 0.0)
     print(json.dumps({
         "metric": "wave_beams_per_sec_cornell_box_bwd",
@@ -128,6 +150,8 @@ def main():
                 / BASELINE_CLASSICAL_PATHS_PER_SEC, 3),
             "classical_100k_tris_paths_per_sec": round(
                 best.get("tri100k", 0.0), 1),
+            "wave_100k_tris_beams_per_sec": round(
+                best.get("wave100k", 0.0), 1),
         },
     }))
 

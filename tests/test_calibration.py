@@ -1,0 +1,116 @@
+"""Absolute radiometric calibration of the coverage pipeline.
+
+Closes PARITY "Known gaps" #4: the virtual-plane map is validated
+against the ANALYTIC free-space value, not just for shadowing shape.
+
+Convention (derived from the reference's virtual_plane design,
+virtual_plane_sensor.hpp:165-170 importance W=1/(π·A_element), and the
+light-image develop normalization by samples-per-element): the developed
+element value of a forward render is
+
+    V = (W·H / π) · E          E = incident power density [W/m²]
+
+so the dB tonemap of V is the dB of E up to the fixed offset
+10·log10(W·H/π). Free space: E(ρ) = I·d/(d²+ρ²)^{3/2} for a point
+source of radiant intensity I at perpendicular distance d (the Friis
+path-loss law P_r/P_t = A_eff/(4π r²) with A_eff folded into the
+element response). Verified analytically here at 10 GHz.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("WT_SLOW_TESTS"),
+    reason="slow; set WT_SLOW_TESTS=1")
+
+C = 299792458.0
+
+
+def _free_space_scene(res=32, extent=4.0, d=10.0, I=7.0):
+    import numpy as np
+    from wave_tracer_tpu.bsdf import DiffuseBSDF, Material
+    from wave_tracer_tpu.core.transform import Transform
+    from wave_tracer_tpu.emitter.model import PointEmitter
+    from wave_tracer_tpu.geometry import mesh
+    from wave_tracer_tpu.scene import IntegratorConfig, Scene, Shape
+    from wave_tracer_tpu.sensor.perspective import lookat_matrix
+    from wave_tracer_tpu.sensor.response import Response
+    from wave_tracer_tpu.sensor.virtual_plane import VirtualPlaneSensor
+    from wave_tracer_tpu.spectrum.spectra import (DiscreteSpectrum,
+                                                  UniformSpectrum)
+    from wave_tracer_tpu.texture.texture import ConstantSpectrumTexture
+
+    lam = C / 10e9
+    k0 = 2 * np.pi / lam
+    tx = PointEmitter(
+        spectrum=DiscreteSpectrum(np.array([k0]), np.array([I])),
+        position=np.array([0.0, 0.0, 0.0]))
+    sensor = VirtualPlaneSensor(
+        width=res, height=res, extent=(extent, extent),
+        to_world=lookat_matrix([0, 0, d], [0, 0, 0], up=[0, 1, 0]),
+        samples=8,
+        response=Response(type="monochromatic",
+                          spectrum=DiscreteSpectrum(np.array([k0]),
+                                                    np.array([1.0]))))
+    # geometry far outside the transmitter→plane cone (a scene must have
+    # at least one triangle; it must not shadow anything)
+    far = Shape(mesh.rectangle(1.0, Transform.from_rows(
+        [1, 0, 0, 500, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1])),
+        Material(bsdf=DiffuseBSDF(reflectance=ConstantSpectrumTexture(
+            UniformSpectrum(0.5, 1.0, 1e9))), twosided=True, name="far"))
+    return Scene(shapes=[far], emitters=[tx], sensors=[sensor],
+                 integrator=IntegratorConfig(type="plt_path",
+                                             max_depth=2)), k0
+
+
+def test_friis_free_space_absolute_level():
+    from wave_tracer_tpu.render import render_scene
+    from wave_tracer_tpu.scene.build import build_scene
+
+    res, extent, d, I = 32, 4.0, 10.0, 7.0
+    scene, k0 = _free_space_scene(res, extent, d, I)
+    built = build_scene(scene)
+    img, stats = render_scene(built, spp=192, batch_lanes=1 << 13)
+    V = np.asarray(img[..., 0])
+    assert np.isfinite(V).all()
+
+    xs = (np.arange(res) + 0.5) / res * extent - extent / 2
+    X, Y = np.meshgrid(xs, xs)
+    E = I * d / (d * d + X ** 2 + Y ** 2) ** 1.5
+    pred = res * res / math.pi * E
+
+    # global absolute level (total power through the window)
+    ratio = V.sum() / pred.sum()
+    assert abs(ratio - 1.0) < 0.04, f"absolute level ratio {ratio}"
+    # radial profile: annulus means match the 1/r³ falloff
+    rho = np.sqrt(X ** 2 + Y ** 2)
+    for r0, r1 in [(0.0, 0.7), (0.7, 1.4), (1.4, 2.0)]:
+        sel = (rho >= r0) & (rho < r1)
+        rr = V[sel].mean() / pred[sel].mean()
+        assert abs(rr - 1.0) < 0.08, f"annulus [{r0},{r1}) ratio {rr}"
+    # dB map offset: dB(V) = dB(E) + 10·log10(WH/π) exactly
+    off = 10 * np.log10(res * res / math.pi)
+    db_meas = 10 * np.log10(np.maximum(V.sum() / V.size, 1e-30))
+    db_pred = 10 * np.log10(E.mean()) + off
+    assert abs(db_meas - db_pred) < 0.2, "dB calibration offset"
+
+
+def test_friis_distance_scaling():
+    """Doubling the distance must cost exactly 6.02 dB (free-space path
+    loss ∝ 1/d²) — the Friis law through the full forward pipeline."""
+    from wave_tracer_tpu.render import render_scene
+    from wave_tracer_tpu.scene.build import build_scene
+
+    levels = []
+    for d in (10.0, 20.0):
+        scene, _ = _free_space_scene(res=24, extent=2.0, d=d, I=5.0)
+        built = build_scene(scene)
+        img, _ = render_scene(built, spp=256, batch_lanes=1 << 13)
+        levels.append(np.asarray(img[..., 0]).mean())
+    db_drop = 10 * np.log10(levels[0] / levels[1])
+    assert abs(db_drop - 20 * np.log10(2.0)) < 0.35, \
+        f"distance-doubling loss {db_drop:.2f} dB (want 6.02)"

@@ -79,3 +79,26 @@ def test_compact_interrupt_resume(built):
     img3, _ = render_scene(b, spp=8, batch_lanes=1 << 11)
     np.testing.assert_allclose(img2, img3, rtol=1e-5,
                                atol=1e-6 * img3.max())
+
+
+def test_stepped_matches_while_loop(built, monkeypatch):
+    """The host-stepped persistent driver (the TPU path: one jitted
+    bounce per dispatch, state donated) must produce bit-identical films
+    to the single-dispatch device while_loop — same pool schedule, same
+    RNG streams, same splat order."""
+    scene, b = built
+    for fsd in (False, True):
+        scene.integrator.fsd = fsd
+        monkeypatch.setenv("WT_COMPACT_MODE", "while")
+        img_w, st_w = render_scene(b, spp=4, batch_lanes=1 << 11)
+        monkeypatch.setenv("WT_COMPACT_MODE", "stepped")
+        img_s, st_s = render_scene(b, spp=4, batch_lanes=1 << 11)
+        assert st_w["mode"] == st_s["mode"]
+        np.testing.assert_allclose(img_s, img_w, rtol=1e-6,
+                                   atol=1e-7 * max(img_w.max(), 1e-30))
+        # device counters agree too (identical pool schedule)
+        cw = st_w.get("device_counters", {})
+        cs = st_s.get("device_counters", {})
+        for k in ("rays_cast", "surface_interactions"):
+            if k in cw:
+                np.testing.assert_allclose(cs[k], cw[k], rtol=1e-6)

@@ -26,3 +26,49 @@ def test_box16_matches_golden():
     # identical RNG streams → near-bitwise (float-accumulation order may
     # differ across backends/versions, hence the small tolerance)
     np.testing.assert_allclose(img, ref, rtol=2e-3, atol=2e-3 * ref.max())
+
+
+def _check_or_create(path, img, frac_ok=1.0, rtol=2e-3, atol_scale=2e-3):
+    if not os.path.isfile(path):
+        np.save(path, img.astype(np.float32))
+        pytest.skip("golden created")
+    ref = np.load(path)
+    assert ref.shape == img.shape
+    close = np.isclose(img, ref, rtol=rtol, atol=atol_scale * ref.max())
+    assert close.mean() >= frac_ok, \
+        f"only {close.mean():.1%} of texels match the golden"
+    np.testing.assert_allclose(img.mean(), ref.mean(), rtol=5e-3)
+
+
+def test_wave16_matches_golden():
+    """Wave-mode (plt_path + UTD FSD + hybrid traversal) self-golden —
+    drift in the flagship kernel fails CI."""
+    scene = make_box_scene(res=16, spp=8)
+    scene.integrator.fsd = True
+    built = build_scene(scene)
+    img, stats = render_scene(built, spp=8, batch_lanes=1 << 11)
+    assert stats["mode"].startswith("wave")
+    golden = os.path.join(os.path.dirname(__file__), "goldens",
+                          "wave16.npy")
+    # traversal-classification thresholds sit on float boundaries; allow
+    # a handful of lanes to flip across backend/version changes
+    _check_or_create(golden, img, frac_ok=0.98)
+
+
+def test_coverage_slits_matches_golden():
+    """Coverage-mode (forward light tracing onto a virtual plane,
+    double-slit fringes) self-golden."""
+    from wave_tracer_tpu.scene.xml import load_scene_xml
+    scene = load_scene_xml(
+        "/root/reference/scenes/diffraction_simple/double_slits.xml",
+        {"pattern": "true", "res": "32", "spp": "2"})
+    built = build_scene(scene)
+    img, stats = render_scene(built, spp=2, batch_lanes=1 << 12)
+    assert stats["mode"].startswith("forward")
+    assert np.isfinite(img).all()
+    golden = os.path.join(os.path.dirname(__file__), "goldens",
+                          "slits32.npy")
+    # FSD-NEE visibility classifications are rounding-chaotic at ~3% of
+    # lanes across lowerings (see test_gradients_wave) — quantile check
+    _check_or_create(golden, img, frac_ok=0.95, rtol=5e-3,
+                     atol_scale=5e-3)

@@ -118,9 +118,27 @@ class TestForwardFringeGradients:
         sids = jnp.zeros((N,), jnp.int32)
         key = rng.make_base_key(5)
 
+        # Scale ONLY the emitter spectrum rows (the parameter under test).
+        # Scaling material rows (the screen's IOR, the fractal profile's
+        # roughness) would move the DISCRETE lobe-selection thresholds
+        # (u < alpha(θ), u >= T(θ) in bsdf/device.py::sample) under the FD
+        # perturbation: FD then sees decision flips AD never takes, which
+        # is exactly the detached-sampling convention's blind spot.
+        # Uniformly scaling every emitter row keeps all discrete decisions
+        # (emitter pmf, spectral draw, lobe picks, RR ratios) θ-invariant,
+        # so f(θ) is smooth and FD is a valid oracle for AD.
+        S = built.data.tables.spectra.vals.shape[0]
+        et = built.data.emitters
+        rows = np.zeros(S, np.float32)
+        for sid in np.unique(np.asarray(et.spec_id)):
+            if sid >= 0:
+                rows[int(sid)] = 1.0
+        assert rows.any()
+        row_mask = jnp.asarray(rows)
+
         def f(theta):
-            data = _scaled(built, jnp.ones(
-                (built.data.tables.spectra.vals.shape[0],)) * theta)
+            data = _scaled(built,
+                           jnp.ones((S,)) + row_mask * (theta - 1.0))
             pos, values, ok, sig, nee = trace_forward(
                 data, lane_ids, key, sids, sensor=sensor,
                 edge_table=data.edges, max_depth=4, eps=1e-5)
@@ -133,12 +151,32 @@ class TestForwardFringeGradients:
             film = film_mod.splat_direct(film, nee_pos, nee_val, nee_ok)
             return film_mod.develop(film, 1.0)
 
-        g = jax.jacfwd(f)(1.0)
+        # FD is evaluated through the SAME jvp-lowered executable that
+        # produces the AD tangent. The estimator's discrete geometric
+        # skeleton (edge-set membership d<=r(z), z-ordered top-K picks on
+        # the head-on slit screen, FSD lobe picks) is θ-invariant but NOT
+        # lowering-invariant: XLA fuses the plain and jvp graphs
+        # differently, and 1-ulp rounding shifts flip near-tie
+        # classifications at ~3% of lanes, changing nee_val by O(1)
+        # (verified: AD tangent == jvp-primal linear coefficient exactly;
+        # the plain-lowered primal is the thing that differs). Comparing
+        # against the same lowering makes FD a valid oracle for the
+        # differentiation rules themselves.
+        jvp1 = jax.jit(lambda t: jax.jvp(f, (t,), (1.0,)))
+        f1, g = jvp1(1.0)
         h = 0.05
-        fd = (f(1.0 + h) - f(1.0 - h)) / (2 * h)
+        fp, _ = jvp1(1.0 + h)
+        fm, _ = jvp1(1.0 - h)
+        fd = (np.asarray(fp) - np.asarray(fm)) / (2 * h)
         g = np.asarray(g)
-        fd = np.asarray(fd)
         assert np.isfinite(g).all(), "NaN/inf in fringe pixel gradients"
         assert (g != 0).any()
         scale = max(np.abs(fd).max(), 1e-30)
         np.testing.assert_allclose(g, fd, rtol=0.12, atol=0.02 * scale)
+        # cross-lowering sanity: the plain-lowered image agrees with the
+        # jvp-lowered one except at rounding-chaotic FSD-NEE pixels
+        f_plain = np.asarray(f(1.0))
+        frac_off = (~np.isclose(f_plain, np.asarray(f1), rtol=0.12,
+                                atol=0.02 * scale)).mean()
+        assert frac_off < 0.06, \
+            f"{frac_off:.1%} of pixels unstable across lowerings"

@@ -221,3 +221,94 @@ class TestTrisNearRay:
             jnp.asarray([10.0]), 16)
         zz = np.asarray(z[0])[: int(cnt[0])]
         assert (np.diff(zz) >= -1e-6).all()
+
+
+class TestClusteredTriQueries:
+    """Clustered two-level cone/ball triangle queries vs the brute
+    oracles (reference BVH cone walk src/ads/bvh8w.cpp:233-318 and ball
+    traversal :610-736 — here cluster-sphere pretest + exact tests)."""
+
+    @pytest.fixture(scope="class")
+    def big_geo(self):
+        soup = mesh.sphere([0, 0, 0], 1.0, tessellation=48)  # 9216 tris
+        geo, _ = make_geo(soup)
+        clusters = trace_mod.build_tri_clusters(geo.p0, geo.e1, geo.e2)
+        return geo, clusters
+
+    def _random_cones(self, n, seed=0):
+        from wave_tracer_tpu.wave.envelope import EnvState
+        r = np.random.default_rng(seed)
+        # origins outside the sphere, aimed at points near it
+        ro = r.normal(size=(n, 3))
+        ro = 3.0 * ro / np.linalg.norm(ro, axis=1, keepdims=True)
+        aim = 0.5 * r.normal(size=(n, 3))
+        rd = aim - ro
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+        x = np.cross(rd, [0.0, 0.57, 0.8])
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        env = EnvState(x=jnp.asarray(x, jnp.float32),
+                       x0=jnp.asarray(r.uniform(0.005, 0.05, n),
+                                      jnp.float32),
+                       ta=jnp.asarray(r.uniform(0.0, 0.08, n),
+                                      jnp.float32),
+                       e=jnp.ones((n,), jnp.float32))
+        return (jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32),
+                env)
+
+    def test_cone_matches_brute(self, big_geo):
+        geo, clusters = big_geo
+        ro, rd, env = self._random_cones(64)
+        zmax = jnp.full((64,), 10.0)
+        K = 8
+        ib, zb, cb = trace_mod.tris_near_cone(geo, ro, rd, env, zmax, K)
+        ic, zc, cc = trace_mod.tris_near_cone_clustered(
+            geo, clusters, ro, rd, env, zmax, K)
+        ib, zb, cb = map(np.asarray, (ib, zb, cb))
+        ic, zc, cc = map(np.asarray, (ic, zc, cc))
+        # narrow beams touch few clusters: the clustered result must
+        # recover the brute K-nearest set almost everywhere
+        hits = matches = 0
+        for ln in range(64):
+            want = set(ib[ln][: cb[ln]].tolist())
+            got = set(ic[ln][: cc[ln]].tolist())
+            hits += len(want)
+            matches += len(want & got)
+        assert hits > 0
+        recall = matches / max(hits, 1)
+        assert recall >= 0.98, f"clustered cone recall {recall}"
+        # entry distances agree exactly where the same tri was found
+        for ln in range(4):
+            common = {t: z for t, z in zip(ib[ln], zb[ln]) if t >= 0}
+            for t, z in zip(ic[ln], zc[ln]):
+                if t in common:
+                    np.testing.assert_allclose(z, common[t], rtol=1e-4)
+
+    def test_ball_matches_brute(self, big_geo):
+        geo, clusters = big_geo
+        r = np.random.default_rng(1)
+        centers = jnp.asarray(r.normal(scale=1.1, size=(64, 3)),
+                              jnp.float32)
+        radii = jnp.asarray(r.uniform(0.02, 0.15, 64), jnp.float32)
+        ib, db, cb = trace_mod.tris_in_ball(geo, centers, radii, 8)
+        ic, dc, cc = trace_mod.tris_in_ball_clustered(
+            geo, clusters, centers, radii, 8)
+        ib, db, cb = map(np.asarray, (ib, db, cb))
+        ic, dc, cc = map(np.asarray, (ic, dc, cc))
+        hits = matches = 0
+        for ln in range(64):
+            want = set(ib[ln][: cb[ln]].tolist())
+            got = set(ic[ln][: cc[ln]].tolist())
+            hits += len(want)
+            matches += len(want & got)
+        assert hits > 0
+        recall = matches / max(hits, 1)
+        assert recall >= 0.98, f"clustered ball recall {recall}"
+
+    def test_cluster_partition(self, big_geo):
+        geo, clusters = big_geo
+        order = np.asarray(clusters.order)
+        assert sorted(order.tolist()) == list(range(geo.num_tris))
+        starts = np.asarray(clusters.start)
+        counts = np.asarray(clusters.count)
+        assert (starts[1:] == starts[:-1] + counts[:-1]).all()
+        assert counts.sum() == geo.num_tris

@@ -129,9 +129,11 @@ def _closest_kernel(rf_ref, tf_ref, aux_ref, out_ref):
     tmax = aux_ref[:, 1:2]
     ex1 = aux_ref[:, 2:3]
     ex2 = aux_ref[:, 3:4]
+    ex3 = aux_ref[:, 4:5]
     ids = (j * BT + jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
            ).astype(jnp.float32)
-    hit = geom_ok & (t > tmin) & (t <= tmax) & (ids != ex1) & (ids != ex2)
+    hit = geom_ok & (t > tmin) & (t <= tmax) & (ids != ex1) \
+        & (ids != ex2) & (ids != ex3)
     t = jnp.where(hit, t, BIG)
     trow = jnp.min(t, axis=1, keepdims=True)
     idrow = jnp.min(jnp.where(t <= trow, ids, BIG), axis=1, keepdims=True)
@@ -157,9 +159,11 @@ def _anyhit_kernel(rf_ref, tf_ref, aux_ref, out_ref):
     tmax = aux_ref[:, 1:2]
     ex1 = aux_ref[:, 2:3]
     ex2 = aux_ref[:, 3:4]
+    ex3 = aux_ref[:, 4:5]
     ids = (j * BT + jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
            ).astype(jnp.float32)
-    hit = geom_ok & (t > tmin) & (t <= tmax) & (ids != ex1) & (ids != ex2)
+    hit = geom_ok & (t > tmin) & (t <= tmax) & (ids != ex1) \
+        & (ids != ex2) & (ids != ex3)
     occ = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
 
     @pl.when(j == 0)
@@ -183,7 +187,7 @@ def _launch(tri_feat, rf, aux, anyhit: bool):
         in_specs=[
             pl.BlockSpec((BN, 16), lambda i, j: (i, 0)),
             pl.BlockSpec((16, 4 * BT), lambda i, j: (0, j)),
-            pl.BlockSpec((BN, 4), lambda i, j: (i, 0)),
+            pl.BlockSpec((BN, 8), lambda i, j: (i, 0)),
         ],
         out_specs=pl.BlockSpec((BN, 8), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((N, 8), jnp.float32),
@@ -202,7 +206,8 @@ def _launch_ref(tri_feat, rf, aux, anyhit: bool):
         t, geom_ok = _sides_and_t(rf, tf)
         ids = j * BT + jnp.arange(BT, dtype=jnp.float32)[None, :]
         hit = geom_ok & (t > aux[:, 0:1]) & (t <= aux[:, 1:2]) \
-            & (ids != aux[:, 2:3]) & (ids != aux[:, 3:4])
+            & (ids != aux[:, 2:3]) & (ids != aux[:, 3:4]) \
+            & (ids != aux[:, 4:5])
         t = jnp.where(hit, t, BIG)
         trow = jnp.min(t, axis=1, keepdims=True)
         idrow = jnp.min(jnp.where(t <= trow, ids, BIG), axis=1,
@@ -238,6 +243,8 @@ def trace_mxu(geo, ro, rd, tmin, tmax, exclude_tri=None, *,
     rf = _ray_features(ro, rd, geo.mxu_center)
     rf = _pad_rays(rf, NP - N)
     aux = jnp.stack([tmin, tmax, exclude_tri.astype(jnp.float32),
+                     jnp.full((N,), -2.0), jnp.full((N,), -2.0),
+                     jnp.full((N,), -2.0), jnp.full((N,), -2.0),
                      jnp.full((N,), -2.0)], axis=-1)
     aux = _pad_rays(aux, NP - N, fill=-3.0)
     launch = _launch if use_pallas else _launch_ref
@@ -264,18 +271,24 @@ def trace_mxu(geo, ro, rd, tmin, tmax, exclude_tri=None, *,
 
 
 def occluded_mxu(geo, ro, rd, tmin, tmax, exclude_tri=None,
-                 exclude_tri2=None, *, use_pallas: bool = True):
+                 exclude_tri2=None, exclude_tri3=None, *,
+                 use_pallas: bool = True):
     """Any-hit within (tmin, tmax) via the MXU kernel. Returns bool (N,)."""
     N = ro.shape[0]
     if exclude_tri is None:
         exclude_tri = jnp.full((N,), -1, jnp.int32)
     if exclude_tri2 is None:
         exclude_tri2 = jnp.full((N,), -1, jnp.int32)
+    if exclude_tri3 is None:
+        exclude_tri3 = jnp.full((N,), -1, jnp.int32)
     NP = ((N + BN - 1) // BN) * BN
     rf = _ray_features(ro, rd, geo.mxu_center)
     rf = _pad_rays(rf, NP - N)
     aux = jnp.stack([tmin, tmax, exclude_tri.astype(jnp.float32),
-                     exclude_tri2.astype(jnp.float32)], axis=-1)
+                     exclude_tri2.astype(jnp.float32),
+                     exclude_tri3.astype(jnp.float32),
+                     jnp.full((N,), -2.0), jnp.full((N,), -2.0),
+                     jnp.full((N,), -2.0)], axis=-1)
     aux = _pad_rays(aux, NP - N, fill=-3.0)
     launch = _launch if use_pallas else _launch_ref
     out = launch(geo.tri_mxu, rf, aux, True)[:N]

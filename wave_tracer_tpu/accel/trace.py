@@ -201,7 +201,7 @@ def trace_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
 
 
 def occluded_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
-                   exclude_tri2=None):
+                   exclude_tri2=None, exclude_tri3=None):
     """Any-hit within (tmin, tmax). Returns bool (N,)."""
     T = geo.num_tris
     TP = _pad_len(T)
@@ -214,6 +214,8 @@ def occluded_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
         exclude_tri = jnp.full((N,), -1, jnp.int32)
     if exclude_tri2 is None:
         exclude_tri2 = jnp.full((N,), -1, jnp.int32)
+    if exclude_tri3 is None:
+        exclude_tri3 = jnp.full((N,), -1, jnp.int32)
 
     def body(c, occ):
         s = c * _TRI_TILE
@@ -227,6 +229,7 @@ def occluded_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
         hit &= tri_ids < T
         hit &= tri_ids != exclude_tri[:, None]
         hit &= tri_ids != exclude_tri2[:, None]
+        hit &= tri_ids != exclude_tri3[:, None]
         return occ | jnp.any(hit, axis=1)
 
     return jax.lax.fori_loop(0, TP // _TRI_TILE, body,
@@ -361,7 +364,7 @@ def trace(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
 
 
 def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
-                 exclude_tri2=None):
+                 exclude_tri2=None, exclude_tri3=None):
     """Any-hit BVH traversal: lanes stop traversing on the first hit
     (no closest-hit bookkeeping — shadow rays are ~2/3 of all casts)."""
     N = ro.shape[0]
@@ -369,6 +372,8 @@ def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
         exclude_tri = jnp.full((N,), -1, jnp.int32)
     if exclude_tri2 is None:
         exclude_tri2 = jnp.full((N,), -1, jnp.int32)
+    if exclude_tri3 is None:
+        exclude_tri3 = jnp.full((N,), -1, jnp.int32)
     inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-30,
                              jnp.where(rd < 0, -1e-30, 1e-30), rd)
     rows = jnp.arange(N)
@@ -407,7 +412,7 @@ def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
         for k in range(_LEAF_TILE):
             ti = left + k
             ok = is_leaf & (k < cnt) & (ti != exclude_tri) \
-                & (ti != exclude_tri2)
+                & (ti != exclude_tri2) & (ti != exclude_tri3)
             tiv = jnp.where(ok, ti, 0)
             trow = geo.tri_geom[tiv]
             _, _, _, hit = ray_tri(ro, rd, trow[:, 0:3], trow[:, 3:6],
@@ -423,16 +428,17 @@ def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
 
 
 def occluded(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
-             exclude_tri2=None):
+             exclude_tri2=None, exclude_tri3=None):
     T = geo.num_tris
     if T and T <= MXU_MAX_TRIS and _tpu_like():
         return mxu_trace.occluded_mxu(geo, ro, rd, tmin, tmax,
-                                      exclude_tri, exclude_tri2)
+                                      exclude_tri, exclude_tri2,
+                                      exclude_tri3)
     if T <= BRUTE_THRESHOLD:
         return occluded_brute(geo, ro, rd, tmin, tmax, exclude_tri,
-                              exclude_tri2)
+                              exclude_tri2, exclude_tri3)
     return occluded_bvh(geo, ro, rd, tmin, tmax, exclude_tri,
-                        exclude_tri2)
+                        exclude_tri2, exclude_tri3)
 
 
 # ---------------------------------------------------------------------------
@@ -664,6 +670,293 @@ def tris_near_cone(geo: GeoArrays, ro, rd, env, zmax, K: int,
     valid = jnp.isfinite(bz)
     bidx = jnp.where(valid, bidx, -1)
     return bidx, bz, valid.sum(axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# two-level clustered triangle-set queries (sublinear cone/ball sweeps)
+# ---------------------------------------------------------------------------
+
+# Above this triangle count the integrators switch the cone/ball SET
+# queries from the tiled brute sweep to the clustered two-level index.
+# Platform-dependent (measured): on CPU the clustered query wins 7x at
+# 37k tris (609 vs 4441 ms, 4k lanes); on the axon v5e the per-lane
+# candidate GATHERS dominate and the dense brute sweep wins at every
+# benchmarked size (11k tris: 9.9k vs 7.9k beams/s; 93k tris: 1634 vs
+# 331) — so the clustered path is off on TPU unless forced via
+# WT_TRI_CLUSTER_MIN.
+import functools as _functools
+import os as _os
+
+# query shape knobs (swept on hardware; see PARITY round-4)
+TRI_N_CLUSTERS = int(_os.environ.get("WT_TRI_NCL", 12))
+TRI_CAP = int(_os.environ.get("WT_TRI_CAP", 64))
+
+
+@_functools.lru_cache(maxsize=1)
+def tri_cluster_min() -> int:
+    env = _os.environ.get("WT_TRI_CLUSTER_MIN")
+    if env:
+        return int(env)
+    if jax.devices()[0].platform.lower() == "cpu":
+        return 16384
+    return 1 << 30
+
+
+@struct.dataclass
+class TriClusters:
+    """Bounding-sphere clusters over grid cells of triangle centroids —
+    the triangle counterpart of accel.edges.EdgeClusters. Device queries
+    test the beam envelope against the M cluster spheres (tiled dense
+    sweep), then run the EXACT cone/ball test only on the candidate
+    lists of the best few clusters. This replaces the reference's BVH
+    cone walk with its enlarged-AABB cluster pretest
+    (reference src/ads/bvh8w.cpp:233-318 cone, :610-736 ball) with a
+    TPU-shaped two-level scheme: O(M) dense + O(n_cl·cap) gathered exact
+    tests instead of O(T) exact tests per lane per bounce."""
+    center: jnp.ndarray    # (M, 3)
+    radius: jnp.ndarray    # (M,)
+    start: jnp.ndarray     # (M,) i32 into `order`
+    count: jnp.ndarray     # (M,) i32
+    order: jnp.ndarray     # (T,) i32 triangle rows grouped by cluster
+
+    @property
+    def num_clusters(self):
+        return self.center.shape[0]
+
+
+def build_tri_clusters(p0, e1, e2, grid: int | None = None,
+                       target: int = 32, cap: int = 64) -> TriClusters:
+    """Host (numpy): bucket triangles by the grid cell of their centroid;
+    cluster spheres cover all three vertices.
+
+    The grid is sized adaptively: surface meshes occupy only a shell of
+    a volumetric grid, so the naive cbrt(T/target) sizing overpacks the
+    occupied cells. We grow the grid until the mean occupied-cell count
+    is ≲ target, then SPLIT any remaining cluster larger than `cap` into
+    ≤cap chunks — queries with tris_per_cluster ≥ cap therefore see
+    exact cluster membership (no truncation)."""
+    import numpy as np
+    p0 = np.asarray(p0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    T = len(p0)
+    if T == 0:
+        return TriClusters(center=jnp.zeros((1, 3)), radius=jnp.zeros(1),
+                           start=jnp.zeros(1, jnp.int32),
+                           count=jnp.zeros(1, jnp.int32),
+                           order=jnp.zeros(0, jnp.int32))
+    c = p0 + (e1 + e2) / 3.0
+    lo = c.min(axis=0)
+    ext = np.maximum(c.max(axis=0) - lo, 1e-9)
+    if grid is None:
+        grid = max(2, int(round((max(T, 1) / float(target))
+                                ** (1.0 / 3.0))))
+        for _ in range(6):
+            cell = np.minimum((c - lo) / ext * grid,
+                              grid - 1e-4).astype(np.int64)
+            key = (cell[:, 0] * grid + cell[:, 1]) * grid + cell[:, 2]
+            occupied = len(np.unique(key))
+            if T / max(occupied, 1) <= target or grid >= 128:
+                break
+            grid = int(grid * 1.5) + 1
+    cell = np.minimum((c - lo) / ext * grid, grid - 1e-4).astype(np.int64)
+    key = (cell[:, 0] * grid + cell[:, 1]) * grid + cell[:, 2]
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    cell_starts = np.concatenate([[0], np.nonzero(np.diff(key_s))[0] + 1])
+    cell_counts = np.diff(np.concatenate([cell_starts, [T]]))
+    # split cells larger than cap into ≤cap chunks
+    starts, counts = [], []
+    for s, n in zip(cell_starts, cell_counts):
+        for off in range(0, n, cap):
+            starts.append(s + off)
+            counts.append(min(cap, n - off))
+    starts = np.asarray(starts, np.int64)
+    counts = np.asarray(counts, np.int64)
+    M = len(starts)
+    center = np.zeros((M, 3), np.float32)
+    radius = np.zeros(M, np.float32)
+    A, B, C = p0, p0 + e1, p0 + e2
+    for m in range(M):
+        ids = order[starts[m]: starts[m] + counts[m]]
+        pts = np.concatenate([A[ids], B[ids], C[ids]])
+        ctr = 0.5 * (pts.min(axis=0) + pts.max(axis=0))
+        center[m] = ctr
+        radius[m] = np.sqrt(((pts - ctr) ** 2).sum(axis=1).max())
+    return TriClusters(
+        center=jnp.asarray(center), radius=jnp.asarray(radius),
+        start=jnp.asarray(starts, jnp.int32),
+        count=jnp.asarray(counts, jnp.int32),
+        order=jnp.asarray(order, jnp.int32))
+
+
+def _clusters_near_cone(clusters: TriClusters, ro, rd, x0, ta, zmax,
+                        n_clusters: int, tile: int = 512):
+    """Earliest clusters whose spheres touch the swept envelope
+    r(z) = x0 + ta·z. Tiled over the cluster table. Returns
+    (sel (N, n_cl) i32, valid (N, n_cl))."""
+    M = clusters.num_clusters
+    N = ro.shape[0]
+    MP = max(tile, ((M + tile - 1) // tile) * tile)
+    cpad = jnp.pad(clusters.center, ((0, MP - M), (0, 0)),
+                   constant_values=1e30)
+    rpad = jnp.pad(clusters.radius, ((0, MP - M),))
+
+    def body(ci, carry):
+        bz, bidx = carry
+        s = ci * tile
+        cc = jax.lax.dynamic_slice(cpad, (s, 0), (tile, 3))
+        cr = jax.lax.dynamic_slice(rpad, (s,), (tile,))
+        w = cc[None, :, :] - ro[:, None, :]
+        zc = jnp.clip(jnp.sum(w * rd[:, None, :], axis=-1), 0.0, None)
+        closest = ro[:, None, :] + zc[..., None] * rd[:, None, :]
+        dist = jnp.linalg.norm(closest - cc[None], axis=-1)
+        reach = x0[:, None] + ta[:, None] * zc + cr[None]
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ok = (ids < M) & (dist <= reach) \
+            & (zc - cr[None] <= zmax[:, None])
+        # order by the conservative EARLIEST possible entry z (a cluster
+        # whose centre projects later can still hold the nearest tris)
+        zk = jnp.where(ok, jnp.maximum(zc - cr[None], 0.0), jnp.inf)
+        cat_z = jnp.concatenate([bz, zk], axis=1)
+        cat_i = jnp.concatenate(
+            [bidx, jnp.broadcast_to(ids, zk.shape)], axis=1)
+        neg, sel = jax.lax.top_k(-cat_z, n_clusters)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((N, n_clusters), jnp.inf),
+            jnp.full((N, n_clusters), 0, jnp.int32))
+    bz, bidx = jax.lax.fori_loop(0, MP // tile, body, init)
+    return bidx, jnp.isfinite(bz)
+
+
+def _cluster_candidates(clusters: TriClusters, sel, valid_cl, cap: int):
+    """Expand selected clusters into a (N, n_cl*cap) candidate row list
+    (+in_range mask). Clusters longer than `cap` are truncated (the
+    grid targets ~32 tris/cluster; cap=64 covers the tail)."""
+    N = sel.shape[0]
+    base = clusters.start[sel]                       # (N, n_cl)
+    cnt = clusters.count[sel]
+    offs = jnp.arange(cap, dtype=jnp.int32)
+    cand = base[..., None] + offs[None, None, :]
+    in_range = (offs[None, None, :] < cnt[..., None]) \
+        & valid_cl[..., None]
+    cand = jnp.clip(cand, 0, clusters.order.shape[0] - 1)
+    tidx = clusters.order[cand].reshape(N, -1)
+    return tidx, in_range.reshape(N, -1)
+
+
+def tris_near_cone_clustered(geo: GeoArrays, clusters: TriClusters,
+                             ro, rd, env, zmax, K: int,
+                             n_clusters: int | None = None,
+                             tris_per_cluster: int | None = None,
+                             zmin: float = 1e-7, exclude_tri=None):
+    """Clustered variant of tris_near_cone: envelope-vs-cluster-sphere
+    sweep, then EXACT elliptic cone–triangle entry tests on the best
+    clusters' candidate lists only. Same return contract
+    (idx (N,K) −1-padded, z ascending, count)."""
+    from wave_tracer_tpu.ops import cone_intersect as ci
+    N = ro.shape[0]
+    if geo.num_tris == 0:
+        return (jnp.full((N, K), -1, jnp.int32),
+                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    if exclude_tri is None:
+        exclude_tri = jnp.full((N,), -1, jnp.int32)
+    n_clusters = n_clusters or TRI_N_CLUSTERS
+    tris_per_cluster = tris_per_cluster or TRI_CAP
+    sel, valid_cl = _clusters_near_cone(clusters, ro, rd, env.x0, env.ta,
+                                        zmax, n_clusters)
+    tidx, in_range = _cluster_candidates(clusters, sel, valid_cl,
+                                         tris_per_cluster)
+    J = tidx.shape[1]
+
+    row = geo.tri_geom[tidx]                         # ONE packed gather
+    xh = env.x
+    yh = jnp.cross(rd, xh)
+    ecc = env.e[:, None]
+
+    def to_local(p):
+        u = p - ro[:, None, :]
+        return jnp.stack([
+            jnp.sum(u * xh[:, None, :], axis=-1),
+            ecc * jnp.sum(u * yh[:, None, :], axis=-1),
+            jnp.sum(u * rd[:, None, :], axis=-1)], axis=-1)
+
+    A = to_local(row[..., 0:3])
+    B = to_local(row[..., 0:3] + row[..., 3:6])
+    C = to_local(row[..., 0:3] + row[..., 6:9])
+    z, _, ok = ci.intersect_cone_tri(
+        env.x0[:, None], env.ta[:, None], A, B, C,
+        jnp.full((N, J), zmin), jnp.broadcast_to(zmax[:, None], (N, J)))
+    ok = ok & in_range & (tidx != exclude_tri[:, None])
+    # a triangle can appear in one cluster only (grouped by centroid
+    # cell), so no dedup is needed
+    zk = jnp.where(ok, z, jnp.inf)
+    neg, selk = jax.lax.top_k(-zk, K)
+    bz = -neg
+    bidx = jnp.take_along_axis(tidx, selk, axis=1)
+    valid = jnp.isfinite(bz)
+    return (jnp.where(valid, bidx, -1), bz,
+            valid.sum(axis=1).astype(jnp.int32))
+
+
+def tris_in_ball_clustered(geo: GeoArrays, clusters: TriClusters,
+                           center, radius, K: int,
+                           n_clusters: int | None = None,
+                           tris_per_cluster: int | None = None):
+    """Clustered variant of tris_in_ball: ball-vs-cluster-sphere sweep,
+    then exact point–triangle distances on the candidates. Same return
+    contract (idx, dist, count), nearest-first."""
+    N = center.shape[0]
+    if geo.num_tris == 0:
+        return (jnp.full((N, K), -1, jnp.int32),
+                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    n_clusters = n_clusters or TRI_N_CLUSTERS
+    tris_per_cluster = tris_per_cluster or TRI_CAP
+    M = clusters.num_clusters
+    tile = 512
+    MP = max(tile, ((M + tile - 1) // tile) * tile)
+    cpad = jnp.pad(clusters.center, ((0, MP - M), (0, 0)),
+                   constant_values=1e30)
+    rpad = jnp.pad(clusters.radius, ((0, MP - M),))
+
+    def body(ci_, carry):
+        bd, bidx = carry
+        s = ci_ * tile
+        cc = jax.lax.dynamic_slice(cpad, (s, 0), (tile, 3))
+        cr = jax.lax.dynamic_slice(rpad, (s,), (tile,))
+        d = jnp.linalg.norm(cc[None] - center[:, None, :], axis=-1)
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ok = (ids < M) & (d <= radius[:, None] + cr[None])
+        dk = jnp.where(ok, d, jnp.inf)
+        cat_d = jnp.concatenate([bd, dk], axis=1)
+        cat_i = jnp.concatenate(
+            [bidx, jnp.broadcast_to(ids, dk.shape)], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, n_clusters)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((N, n_clusters), jnp.inf),
+            jnp.full((N, n_clusters), 0, jnp.int32))
+    bd, selc = jax.lax.fori_loop(0, MP // tile, body, init)
+    tidx, in_range = _cluster_candidates(clusters, selc,
+                                         jnp.isfinite(bd),
+                                         tris_per_cluster)
+    row = geo.tri_geom[tidx]                         # ONE packed gather
+    a = row[..., 0:3]
+    t1 = row[..., 3:6]
+    t2 = row[..., 6:9]
+    gn = jnp.cross(t1, t2)
+    gn = gn / jnp.maximum(
+        jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-30)
+    dist = _point_tri_dist(center[:, None, :], a, t1, t2, gn)
+    ok = in_range & (dist <= radius[:, None])
+    dk = jnp.where(ok, dist, jnp.inf)
+    neg, selk = jax.lax.top_k(-dk, K)
+    bdist = -neg
+    bidx = jnp.take_along_axis(tidx, selk, axis=1)
+    valid = jnp.isfinite(bdist)
+    return (jnp.where(valid, bidx, -1), bdist,
+            valid.sum(axis=1).astype(jnp.int32))
 
 
 def cone_tri_entry_point(geo: GeoArrays, ro, rd, env, tri, zmin, zmax):

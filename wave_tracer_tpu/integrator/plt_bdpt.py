@@ -42,7 +42,11 @@ from wave_tracer_tpu.accel import edges as edges_mod
 from wave_tracer_tpu.accel import trace as trace_mod
 from wave_tracer_tpu.bsdf import device as bsdf_dev
 from wave_tracer_tpu.emitter import table as etab
-from wave_tracer_tpu.integrator.path import (_perp_axis, compose_scatter,
+from wave_tracer_tpu.integrator.path import (N_STATS, STAT_DEPTH_SUM,
+                                             STAT_EDGE_HIT, STAT_FSD,
+                                             STAT_NULL, STAT_RAYS,
+                                             STAT_SHADOW, STAT_SURFACE,
+                                             _perp_axis, compose_scatter,
                                              _sample_emitter_by_power)
 from wave_tracer_tpu.polarization import stokes as stokes_mod
 from wave_tracer_tpu.math import frame as frame_mod
@@ -75,7 +79,8 @@ def _safe_cross(a, b):
     return jnp.where(ln < 1e-7, _perp_axis(a), s / jnp.maximum(ln, 1e-12))
 
 
-def _blocked_flux(geo, ro, rd, fx, fy, z_int, dz, x0, ta, sigma):
+def _blocked_flux(geo, ro, rd, fx, fy, z_int, dz, x0, ta, sigma,
+                  tri_clusters=None):
     """Fraction of beam power blocked by front-facing geometry inside the
     interaction region (reference find_closest_triangle integrate_tris,
     plt_bdpt_detail.hpp:390-417): ball-query triangles, clip to the
@@ -85,7 +90,12 @@ def _blocked_flux(geo, ro, rd, fx, fy, z_int, dz, x0, ta, sigma):
     wp = ro + z_int[:, None] * rd
     r_env = x0 + ta * z_int
     r_ball = jnp.sqrt(r_env ** 2 + dz ** 2) * 1.05
-    idx, _, _ = trace_mod.tris_in_ball(geo, wp, r_ball, K_TRI)
+    if tri_clusters is not None \
+            and geo.num_tris > trace_mod.tri_cluster_min():
+        idx, _, _ = trace_mod.tris_in_ball_clustered(
+            geo, tri_clusters, wp, r_ball, K_TRI)
+    else:
+        idx, _, _ = trace_mod.tris_in_ball(geo, wp, r_ball, K_TRI)
     i = jnp.maximum(idx, 0)
     ok = idx >= 0
     # geometry blocks regardless of facing (the reference integrates the
@@ -156,6 +166,7 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
     init = dict(
         ro=ro, rd=rd, beta=beta0, pdf_dir=pdf_dir0,
         pol=pol0, pax=pax0,
+        stats=jnp.zeros((N_STATS,), jnp.float32),
         active=jnp.ones((N,), bool),
         exclude=jnp.full((N,), -1, jnp.int32),
         delta=jnp.zeros((N,), bool),
@@ -248,7 +259,9 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
             dz = jnp.maximum(Z_SCALE * fp_int, 4.0 * eps)
             blocked = _blocked_flux(geo, st["ro"], st["rd"], fx, fy,
                                     z_int, dz, env.x0,
-                                    env.ta, sigma)
+                                    env.ta, sigma,
+                                    tri_clusters=getattr(
+                                        data, "tri_clusters", None))
             recp_I = 1.0 / jnp.maximum(1.0 - blocked, 0.05)
             uR = rng.uniform(dkeys, rng.D_FSD, 4 * M_RIS + 1)
             xi, asf_v, w_ris, vs = fr.sample_xi_sir(
@@ -419,6 +432,18 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         st["env"] = env_mod.select(active, env_new, st["env"])
         st["cur"] = st["cur"] + store.astype(jnp.int32)
         st["active"] = active
+        # device counters (reference include/wt/integrator/stats.hpp:
+        # 19-84 interaction-type counters + path-depth accumulation)
+        f32 = jnp.float32
+        stats = st["stats"]
+        stats = stats.at[STAT_RAYS].add(lane.sum(dtype=f32))
+        stats = stats.at[STAT_SURFACE].add(surface.sum(dtype=f32))
+        stats = stats.at[STAT_FSD].add(fsd_lane.sum(dtype=f32))
+        stats = stats.at[STAT_NULL].add(null_lane.sum(dtype=f32))
+        stats = stats.at[STAT_DEPTH_SUM].add(active.sum(dtype=f32))
+        stats = stats.at[STAT_EDGE_HIT].add(
+            (lane & midflight).sum(dtype=f32))
+        st["stats"] = stats
         return st
 
     st = jax.lax.fori_loop(0, V + 2, body, init)
@@ -495,7 +520,8 @@ def _side_sum(tau, pconn, r_end_num, pdf_fwd, delta_v, S_tab,
 
 def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
                max_depth: int = 4, eps: float = 1e-5, fsd: bool = False,
-               K: int = 8, debug_buckets: bool = False):
+               K: int = 8, debug_buckets: bool = False,
+               with_stats: bool = False):
     """One BDPT batch. Returns (pos, values (N,C), ok, light_splats):
     light_splats = (pos_lt (N*T,2), values_lt (N*T,C), ok_lt) — EVERY
     t=1 light-tracing vertex splats with its MIS weight (reference
@@ -913,6 +939,14 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
            (lt_pos.reshape(N * T, 2),
             lt_values.reshape(N * T, Cl),
             lt_ok.reshape(N * T)))
+    if with_stats:
+        # both walks' counters + the connection/NEE/t=1 shadow rays —
+        # every (s,t) pair and every stored light vertex casts one
+        # occlusion segment per lane (reference stats.hpp:19-84)
+        stats = cam["stats"] + lgt["stats"]
+        n_shadow = float(S * (T + 1) + T) * jnp.asarray(N, jnp.float32)
+        stats = stats.at[STAT_SHADOW].add(n_shadow)
+        out = out + (stats,)
     if debug_buckets:
         # raw pre-spectral-weight sums, same units as the s0/conn buckets
         dbg["t1"] = jnp.sum(

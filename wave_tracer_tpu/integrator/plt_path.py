@@ -155,9 +155,18 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
     # ---- hybrid ballistic/diffusive traversal (reference
     # traversal.hpp:39-161 as a closed-form schedule over ONE exact
     # cone-triangle set sweep)
-    tidx, tz, tcnt = trace_mod.tris_near_cone(
-        geo, st["ro"], st["rd"], env, zmax, K,
-        exclude_tri=st["exclude"])
+    tri_clusters = getattr(data, "tri_clusters", None)
+    if tri_clusters is not None \
+            and geo.num_tris > trace_mod.tri_cluster_min():
+        # two-level clustered sweep (sublinear; reference BVH cone walk
+        # src/ads/bvh8w.cpp:233-318 equivalent)
+        tidx, tz, tcnt = trace_mod.tris_near_cone_clustered(
+            geo, tri_clusters, st["ro"], st["rd"], env, zmax, K,
+            exclude_tri=st["exclude"])
+    else:
+        tidx, tz, tcnt = trace_mod.tris_near_cone(
+            geo, st["ro"], st["rd"], env, zmax, K,
+            exclude_tri=st["exclude"])
     lam = (2.0 * math.pi) / jnp.maximum(k, 1e-9)
     tr = traversal_mod.schedule(hit.t, hit.valid, tz, env, lam, zmax)
 
@@ -212,18 +221,25 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
             dst_e.reshape(-1, 3),
             dst,
         ], axis=0)
+        # exclusions: both legs touch the edge's Fermat point, so its
+        # two adjacent faces are excluded (rounding-robust visibility);
+        # the dst-side leg and the direct segment exclude the hit tri
+        et1, et2 = fsd_mod.aperture_face_tris(edge_table, st["fsd_ap"])
+        ex1 = jnp.concatenate([
+            et1.reshape(-1), et1.reshape(-1),
+            jnp.full((N,), -1, jnp.int32)], axis=0)
         ex2 = jnp.concatenate([
+            et2.reshape(-1), et2.reshape(-1), hit.tri], axis=0)
+        ex3 = jnp.concatenate([
             jnp.full((N * K,), -1, jnp.int32),
             jnp.broadcast_to(hit.tri[:, None], (N, K)).reshape(-1),
-            hit.tri,
-        ], axis=0)
+            jnp.full((N,), -1, jnp.int32)], axis=0)
         seg = b_pts - a_pts
         seg_d = vec.safe_length(seg)
         seg_n = seg / jnp.maximum(seg_d, 1e-20)[:, None]
         occ_all = trace_mod.occluded(
             geo, a_pts, seg_n, jnp.full((a_pts.shape[0],), eps),
-            seg_d - 2.0 * eps,
-            jnp.full((a_pts.shape[0],), -1, jnp.int32), ex2)
+            seg_d - 2.0 * eps, ex1, ex2, ex3)
         s1 = occ_all[:N * K].reshape(N, K)
         s2 = occ_all[N * K:2 * N * K].reshape(N, K)
         occ_direct = occ_all[2 * N * K:]

@@ -64,7 +64,8 @@ def forward_scatter(S, xf, d_in, d_out, Mw):
 def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                   edge_table, max_depth: int = 8, rr_depth: int = 3,
                   rr_floor: float = 0.5, eps: float = 1e-5,
-                  fsd: bool = True, K: int = 8, fsd_mode: str = "utd"):
+                  fsd: bool = True, K: int = 8, fsd_mode: str = "utd",
+                  debug: bool = False):
     """Forward light-trace batch.
 
     Each lane emits one beam and records its first virtual-plane crossing
@@ -146,20 +147,31 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         nee_ok=jnp.zeros((N, D), bool),
     )
 
-    def fsd_legs(ev, src, dst, hit_tri):
+    def fsd_legs(ap, ev, src, dst, hit_tri, src_tri=None):
         """Shadow-segment block for one coherent-sum evaluation:
-        (a_pts, b_pts, ex2) of 2K+1 segments per lane."""
+        (a_pts, b_pts, ex1, ex2, ex3) of 2K+1 segments per lane. Both
+        edge legs exclude the aperture edge's adjacent faces (they start
+        or end ON the edge — rounding-robust visibility, cf.
+        fsd.aperture_face_tris); dst-side legs exclude the hit tri and
+        src-side legs the surface the segment starts on."""
+        if src_tri is None:
+            src_tri = jnp.full((N,), -1, jnp.int32)
         src_e = jnp.broadcast_to(src[:, None, :], (N, K, 3))
         dst_e = jnp.broadcast_to(dst[:, None, :], (N, K, 3))
         a_pts = jnp.concatenate([src_e.reshape(-1, 3),
                                  ev["p"].reshape(-1, 3), src], axis=0)
         b_pts = jnp.concatenate([ev["p"].reshape(-1, 3),
                                  dst_e.reshape(-1, 3), dst], axis=0)
+        et1, et2 = fsd_mod.aperture_face_tris(edge_table, ap)
+        ex1 = jnp.concatenate([
+            et1.reshape(-1), et1.reshape(-1), src_tri], axis=0)
         ex2 = jnp.concatenate([
-            jnp.full((N * K,), -1, jnp.int32),
+            et2.reshape(-1), et2.reshape(-1), hit_tri], axis=0)
+        ex3 = jnp.concatenate([
+            jnp.broadcast_to(src_tri[:, None], (N, K)).reshape(-1),
             jnp.broadcast_to(hit_tri[:, None], (N, K)).reshape(-1),
-            hit_tri], axis=0)
-        return a_pts, b_pts, ex2
+            jnp.full((N,), -1, jnp.int32)], axis=0)
+        return a_pts, b_pts, ex1, ex2, ex3
 
     def coherent_f(ev, occ_block, src, dst, ap_valid):
         """Coherent UTD intensity for one evaluation given its occlusion
@@ -249,22 +261,24 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             ev_cont = fsd_mod.fsd_eval(st["fsd_ap"], k, st["prev_vert"],
                                        dst_seg)
             ev_nee = fsd_mod.fsd_eval(ap_now, k, st["ro"], sp_pt)
-            blocks = [fsd_legs(ev_cross, st["prev_vert"], plane_p,
-                               hit.tri),
-                      fsd_legs(ev_cont, st["prev_vert"], dst_seg,
-                               hit.tri),
-                      fsd_legs(ev_nee, st["ro"], sp_pt,
-                               jnp.full((N,), -1, jnp.int32))]
+            blocks = [fsd_legs(st["fsd_ap"], ev_cross, st["prev_vert"],
+                               plane_p, hit.tri),
+                      fsd_legs(st["fsd_ap"], ev_cont, st["prev_vert"],
+                               dst_seg, hit.tri),
+                      fsd_legs(ap_now, ev_nee, st["ro"], sp_pt,
+                               jnp.full((N,), -1, jnp.int32),
+                               src_tri=st["exclude"])]
             a_all = jnp.concatenate([b[0] for b in blocks], axis=0)
             b_all = jnp.concatenate([b[1] for b in blocks], axis=0)
-            ex2_all = jnp.concatenate([b[2] for b in blocks], axis=0)
+            ex1_all = jnp.concatenate([b[2] for b in blocks], axis=0)
+            ex2_all = jnp.concatenate([b[3] for b in blocks], axis=0)
+            ex3_all = jnp.concatenate([b[4] for b in blocks], axis=0)
             seg = b_all - a_all
             seg_d = vec.safe_length(seg)
             seg_n = seg / jnp.maximum(seg_d, 1e-20)[:, None]
             occ_all = trace_mod.occluded(
                 geo, a_all, seg_n, jnp.full((a_all.shape[0],), eps),
-                seg_d - 2.0 * eps,
-                jnp.full((a_all.shape[0],), -1, jnp.int32), ex2_all)
+                seg_d - 2.0 * eps, ex1_all, ex2_all, ex3_all)
             M = N * (2 * K + 1)
             f_cross = coherent_f(ev_cross, occ_all[:M], st["prev_vert"],
                                  plane_p, st["fsd_valid"])
@@ -467,5 +481,8 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
     nee_val = to_channels(state["nee_val"]).reshape(N * max_depth, -1)
     nee_pos = state["nee_pos"].reshape(N * max_depth, 2)
     nee_ok = state["nee_ok"].reshape(N * max_depth)
-    return (state["pos"], values, state["hit_plane"], state["sig"],
-            (nee_pos, nee_val, nee_ok))
+    out = (state["pos"], values, state["hit_plane"], state["sig"],
+           (nee_pos, nee_val, nee_ok))
+    if debug:
+        return out + (state,)
+    return out

@@ -109,13 +109,7 @@ class Renderer:
                 and not sensor.ray_trace_only and not cfg.ray_trace_only)
         wave = fsd_on and not bdpt
 
-        # wave-compact is opt-in: the axon TPU backend wedges compiling
-        # the wave bounce inside the persistent while_loop (classical
-        # compiles in ~40 s and runs 4x faster than batched)
-        import os
-        wave_compact_ok = os.environ.get("WT_WAVE_COMPACT", "0") == "1" \
-            or jax.devices()[0].platform.lower() == "cpu"
-        if self.compact and not bdpt and (not wave or wave_compact_ok):
+        if self.compact and not bdpt:
             return self._render_backward_compact(
                 data, sensor, spp, progress, film, base_key, cfg, eps,
                 spp_start, wave=wave, fsd=fsd_on)
@@ -198,9 +192,7 @@ class Renderer:
         out = dict(seconds=dt, paths=total_lanes,
                    paths_per_sec=total_lanes / max(dt, 1e-9), mode=mode,
                    spp_done=spp_done, interrupted=spp_done < spp)
-        # (bdpt does not carry device counters yet — skip the all-zero
-        # vector rather than report it as measured)
-        if dev_stats is not None and not bdpt:
+        if dev_stats is not None:
             out["device_counters"] = _record_device_stats(
                 np.asarray(dev_stats))
         return img, out
@@ -210,20 +202,44 @@ class Renderer:
                                  base_key, cfg, eps, spp_start: int = 0,
                                  wave: bool = False, fsd: bool = True):
         """Classical/wave backward render through the persistent
-        compacted wavefront (one while_loop dispatch per spp chunk)."""
+        compacted wavefront.
+
+        Two drivers (integrator/path_compact.py): a single-dispatch
+        device while_loop, or a host-stepped loop (one jitted bounce per
+        dispatch, state donated). The axon TPU backend wedges compiling
+        the wave bounce inside a persistent while_loop AND runs in-loop
+        code 3-4x slower (CLAUDE.md perf model), so non-CPU platforms
+        default to the stepped driver; override with
+        WT_COMPACT_MODE=while|stepped."""
+        import os
         from wave_tracer_tpu.integrator.path_compact import (
-            make_compact_kernel)
+            make_compact_kernel, make_stepped_kernel)
         W, H = sensor.width, sensor.height
         npixels = W * H
         lanes = min(self.batch_lanes, 1 << 14)
-        key = ("compact", id(sensor), cfg.max_depth, float(eps),
+        mode = os.environ.get("WT_COMPACT_MODE", "")
+        if mode not in ("while", "stepped"):
+            is_cpu = jax.devices()[0].platform.lower() == "cpu"
+            # measured on the axon v5e (cornell box, 16k lanes): the
+            # classical bounce is cheap (~35 ms/step) so the host-step
+            # overhead costs 1.7x and the device while_loop wins (96k vs
+            # 57k paths/s); the wave bounce is ~10x heavier and the
+            # while_loop both wedges the axon compiler AND pays the
+            # 3-4x in-loop scheduling penalty — stepped wins (9.9k vs
+            # 6.4k beams/s batched; the while variant doesn't compile)
+            mode = "stepped" if (wave and not is_cpu) else "while"
+        key = ("compact", mode, id(sensor), cfg.max_depth, float(eps),
                bool(cfg.mis), bool(wave), bool(fsd),
                bool(getattr(sensor, "polarimetric", False)))
         if key in _kernel_cache:
             kern = _kernel_cache[key][1]
         else:
-            kern = make_compact_kernel(sensor, cfg.max_depth, eps,
-                                       cfg.mis, wave=wave, fsd=fsd)
+            if mode == "stepped":
+                kern = make_stepped_kernel(sensor, cfg.max_depth, eps,
+                                           cfg.mis, wave=wave, fsd=fsd)
+            else:
+                kern = make_compact_kernel(sensor, cfg.max_depth, eps,
+                                           cfg.mis, wave=wave, fsd=fsd)
             _kernel_cache[key] = (sensor, kern)
 
         # chunk by spp for interrupt/progress granularity
@@ -235,7 +251,18 @@ class Renderer:
         for s0 in range(spp_start, spp, spp_chunk):
             s1 = min(s0 + spp_chunk, spp)
             bounds = jnp.asarray([s0 * npixels, s1 * npixels], jnp.int32)
-            film, kst = kern(data, film, base_key, bounds, lanes)
+            if mode == "stepped":
+                init, step, finish = kern
+                c = init(data, film, base_key, bounds, lanes)
+                while True:
+                    c = step(data, c)
+                    # host poll of the device-side liveness flag; ~0.2 ms
+                    # against a multi-hundred-ms bounce
+                    if not bool(c["alive"]):
+                        break
+                film, kst = finish(c)
+            else:
+                film, kst = kern(data, film, base_key, bounds, lanes)
             kst_list.append(kst)
             total_lanes += (s1 - s0) * npixels
             spp_done = s1
@@ -404,9 +431,12 @@ def _make_render_kernel(sensor, max_depth, eps, mis, wave, bdpt,
                                                sid),
                                 rng.D_PIXEL_JITTER, 2)
             if bdpt:
-                pos, values, ok, (lt_pos, lt_val, lt_ok) = trace_bdpt(
-                    data, pxy, jit_u, base_key, sid, sensor=sensor,
-                    max_depth=min(max_depth, 16), eps=eps, fsd=bdpt_fsd)
+                pos, values, ok, (lt_pos, lt_val, lt_ok), dstats = \
+                    trace_bdpt(
+                        data, pxy, jit_u, base_key, sid, sensor=sensor,
+                        max_depth=min(max_depth, 16), eps=eps,
+                        fsd=bdpt_fsd, with_stats=True)
+                kstats = kstats + dstats
                 # light-tracing splats are flattened per stored light
                 # vertex: V splats per lane
                 V = lt_ok.shape[0] // live.shape[0]

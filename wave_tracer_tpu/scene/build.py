@@ -40,6 +40,7 @@ class SceneData:
     spectral: SpectralSampler      # for the primary sensor
     edges: edges_mod.EdgeTable     # classified wedge edges (FSD)
     edge_clusters: edges_mod.EdgeClusters   # two-level edge index
+    tri_clusters: trace_mod.TriClusters     # two-level triangle index
 
 
 @dataclass
@@ -149,6 +150,7 @@ def build_scene(scene: Scene) -> BuiltScene:
         soup.positions[perm0] if len(perm0) else soup.positions,
         soup.geo_n[perm0] if len(perm0) else soup.geo_n)
     edge_clusters = edges_mod.build_edge_clusters(edge_table)
+    tri_clusters = trace_mod.build_tri_clusters(geo.p0, geo.e1, geo.e2)
 
     spec_table = bake_spectra(spectra)
     cspec_table = bake_complex(cspectra)
@@ -173,6 +175,7 @@ def build_scene(scene: Scene) -> BuiltScene:
 
     data = SceneData(geo=geo, tables=tables, emitters=etable,
                      spectral=per_sensor[0], edges=edge_table,
-                     edge_clusters=edge_clusters)
+                     edge_clusters=edge_clusters,
+                     tri_clusters=tri_clusters)
     return BuiltScene(scene=scene, data=data, bvh=bvh,
                       spectral_per_sensor=per_sensor)

@@ -98,6 +98,20 @@ def build_aperture(edges: EdgeTable, idx, wp, wi, region_radius
                        alpha=row[..., 18], edge_idx=idx, valid=ok)
 
 
+def aperture_face_tris(edges: EdgeTable, ap: FsdAperture):
+    """The two triangles adjacent to each aperture edge ((N, K) i32 each,
+    −1 for empty slots/boundary edges). Shadow legs that START or END on
+    an edge's Fermat point graze both faces; excluding them from the
+    occlusion trace makes the per-edge visibility classification robust
+    to float rounding (the reference offsets ray origins off the wedge,
+    intersection.hpp offseted_ray_origin — an exclusion is the exact
+    array-land equivalent)."""
+    i = jnp.maximum(ap.edge_idx, 0)
+    t1 = jnp.where(ap.valid, edges.tri1[i], -1)
+    t2 = jnp.where(ap.valid, edges.tri2[i], -1)
+    return t1, t2
+
+
 def empty_aperture(N: int, K: int) -> FsdAperture:
     z3 = jnp.zeros((N, K, 3), jnp.float32)
     z = jnp.zeros((N, K), jnp.float32)
