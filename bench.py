@@ -59,11 +59,14 @@ def child():
     scene.integrator.type = "plt_path"
     scene.integrator.fsd = True
     built = build_scene(scene)
+    # device_stats=False mirrors the reference's default build (its
+    # ads/integrator counters are compile-time-gated to Profile builds,
+    # CMakeLists:393-396) — counters stay available via --stats / tests
     img, stats = render_scene(built, spp=2, batch_lanes=LANES,
-                              fuse_batches=False)
+                              fuse_batches=False, device_stats=False)
     print("PARTIAL wave", stats["paths_per_sec"], flush=True)
     img, stats = render_scene(built, spp=8, batch_lanes=LANES,
-                              fuse_batches=False)
+                              fuse_batches=False, device_stats=False)
     assert np.isfinite(img).all()
     print("RESULT wave", stats["paths_per_sec"], flush=True)
 
@@ -71,10 +74,10 @@ def child():
     scene.integrator.fsd = False
     built = build_scene(scene)
     img, stats = render_scene(built, spp=2, batch_lanes=LANES,
-                              fuse_batches=False)
+                              fuse_batches=False, device_stats=False)
     print("PARTIAL classical", stats["paths_per_sec"], flush=True)
     img, stats = render_scene(built, spp=16, batch_lanes=LANES,
-                              fuse_batches=False)
+                              fuse_batches=False, device_stats=False)
     assert np.isfinite(img).all()
     print("RESULT classical", stats["paths_per_sec"], flush=True)
 
@@ -88,10 +91,10 @@ def child():
         mesh_mod.sphere([2.78, 1.2, 2.78], 0.9, tessellation=192), mat))
     built = build_scene(scene)
     img, stats = render_scene(built, spp=2, batch_lanes=LANES,
-                              fuse_batches=False)
+                              fuse_batches=False, device_stats=False)
     print("PARTIAL tri100k", stats["paths_per_sec"], flush=True)
     img, stats = render_scene(built, spp=8, batch_lanes=LANES,
-                              fuse_batches=False)
+                              fuse_batches=False, device_stats=False)
     assert np.isfinite(img).all()
     print("RESULT tri100k", stats["paths_per_sec"], flush=True)
 
@@ -101,10 +104,10 @@ def child():
     scene.integrator.fsd = True
     built = build_scene(scene)
     img, stats = render_scene(built, spp=1, batch_lanes=LANES,
-                              fuse_batches=False)
+                              fuse_batches=False, device_stats=False)
     print("PARTIAL wave100k", stats["paths_per_sec"], flush=True)
     img, stats = render_scene(built, spp=4, batch_lanes=LANES,
-                              fuse_batches=False)
+                              fuse_batches=False, device_stats=False)
     assert np.isfinite(img).all()
     print("RESULT wave100k", stats["paths_per_sec"], flush=True)
 

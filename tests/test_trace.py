@@ -312,3 +312,44 @@ class TestClusteredTriQueries:
         counts = np.asarray(clusters.count)
         assert (starts[1:] == starts[:-1] + counts[:-1]).all()
         assert counts.sum() == geo.num_tris
+
+
+class TestTwoPassConeQuery:
+    def test_matches_brute(self):
+        """tris_near_cone_2pass (bounding-sphere pretest + exact test on
+        top-J candidates) vs the exact brute sweep."""
+        from wave_tracer_tpu.wave.envelope import EnvState
+        soup = mesh.sphere([0, 0, 0], 1.0, tessellation=48)
+        geo, _ = make_geo(soup)
+        n = 64
+        r = np.random.default_rng(3)
+        ro = r.normal(size=(n, 3))
+        ro = 3.0 * ro / np.linalg.norm(ro, axis=1, keepdims=True)
+        aim = 0.5 * r.normal(size=(n, 3))
+        rd = aim - ro
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+        x = np.cross(rd, [0.0, 0.57, 0.8])
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        env = EnvState(x=jnp.asarray(x, jnp.float32),
+                       x0=jnp.asarray(r.uniform(0.005, 0.05, n),
+                                      jnp.float32),
+                       ta=jnp.asarray(r.uniform(0.0, 0.08, n),
+                                      jnp.float32),
+                       e=jnp.ones((n,), jnp.float32))
+        ro = jnp.asarray(ro, jnp.float32)
+        rd = jnp.asarray(rd, jnp.float32)
+        zmax = jnp.full((n,), 10.0)
+        ib, zb, cb = trace_mod.tris_near_cone(geo, ro, rd, env, zmax, 8)
+        i2, z2, c2 = trace_mod.tris_near_cone_2pass(geo, ro, rd, env,
+                                                    zmax, 8)
+        ib, cb = np.asarray(ib), np.asarray(cb)
+        i2, c2 = np.asarray(i2), np.asarray(c2)
+        hits = matches = 0
+        for ln in range(n):
+            want = set(ib[ln][: cb[ln]].tolist())
+            got = set(i2[ln][: c2[ln]].tolist())
+            hits += len(want)
+            matches += len(want & got)
+        assert hits > 0
+        recall = matches / max(hits, 1)
+        assert recall >= 0.98, f"2pass cone recall {recall}"

@@ -86,3 +86,57 @@ def test_too_short_progress_rejected_until_later_boundary():
                             lam=lam, x0=1e-4, ta=1e-4)
     assert dif[0]
     assert abs(z[0] - 0.2) < 1e-6
+
+
+def test_schedule_from_minz_matches_topk():
+    """The min-z sweep + schedule_from_minz must reproduce the top-K
+    sweep + schedule decisions wherever K=16 covers all encounters (the
+    min-z form sees EVERY encounter, so it is the more exact one)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.test_trace import make_geo
+    from wave_tracer_tpu.accel import trace as trace_mod
+    from wave_tracer_tpu.geometry import mesh
+    from wave_tracer_tpu.integrator import traversal as tr_mod
+    from wave_tracer_tpu.wave.envelope import EnvState
+
+    soup = mesh.sphere([0, 0, 0], 1.0, tessellation=16)
+    geo, _ = make_geo(soup)
+    n = 128
+    r = np.random.default_rng(5)
+    ro = r.normal(size=(n, 3))
+    ro = 3.0 * ro / np.linalg.norm(ro, axis=1, keepdims=True)
+    aim = 0.4 * r.normal(size=(n, 3))
+    rd = aim - ro
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    x = np.cross(rd, [0.0, 0.57, 0.8])
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    env = EnvState(x=jnp.asarray(x, jnp.float32),
+                   x0=jnp.asarray(r.uniform(0.001, 0.02, n), jnp.float32),
+                   ta=jnp.asarray(r.uniform(0.0, 0.03, n), jnp.float32),
+                   e=jnp.ones((n,), jnp.float32))
+    ro = jnp.asarray(ro, jnp.float32)
+    rd = jnp.asarray(rd, jnp.float32)
+    zmax = jnp.full((n,), 10.0)
+    lam = jnp.full((n,), 5e-4)
+    t_ray = jnp.full((n,), 2.0)
+    ray_hit = jnp.ones((n,), bool)
+
+    K = 16
+    _, tz, cnt = trace_mod.tris_near_cone(geo, ro, rd, env, zmax, K)
+    tr_a = tr_mod.schedule(t_ray, ray_hit, tz, env, lam, zmax)
+    bounds = tr_mod.segment_boundaries(lam)
+    zc, cnt2 = trace_mod.cone_boundary_minz(geo, ro, rd, env, bounds,
+                                            zmax)
+    tr_b = tr_mod.schedule_from_minz(t_ray, ray_hit, zc, env, lam, zmax)
+
+    covered = np.asarray(cnt) < K     # top-K saw everything
+    for field in ("ballistic", "diffusive", "escaped"):
+        a = np.asarray(getattr(tr_a, field))[covered]
+        b = np.asarray(getattr(tr_b, field))[covered]
+        assert (a == b).all(), field
+    za = np.asarray(tr_a.z_region)[covered]
+    zb = np.asarray(tr_b.z_region)[covered]
+    np.testing.assert_allclose(zb, za, rtol=1e-5, atol=1e-6)
+    # uncapped count ≥ capped count
+    assert (np.asarray(cnt2) >= np.asarray(cnt)).all()

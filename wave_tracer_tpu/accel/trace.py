@@ -528,79 +528,23 @@ def tris_in_ball(geo: GeoArrays, center, radius, K: int, tile: int = 512):
 
 def tris_near_ray(geo: GeoArrays, ro, rd, x0, tan_alpha, zmax, K: int,
                   tile: int = 512):
-    """Triangles inside the swept cone envelope of a ray segment — the
-    cone-mode intersect returning triangle SETS (reference ads_t
-    intersect(cone), src/ads/bvh8w.cpp:233-318; the exact cone–tri test
-    happens per candidate here as ray/segment distances against the
-    growing radius r(z) = x0 + tanα·z).
-
-    Returns (idx (N, K) i32 −1-padded, z (N, K) encounter parameter,
-    count (N,)), ordered by ascending z.
-    """
-    T = geo.num_tris
+    """Thin circular-cone wrapper over the EXACT elliptic sweep
+    tris_near_cone (eccentricity 1): kept for the isotropic-envelope
+    call sites and tests; the duplicate segment-distance sweep it used
+    to carry is gone (reference ads_t::intersect(cone),
+    src/ads/bvh8w.cpp:233-318)."""
+    from wave_tracer_tpu.wave.envelope import EnvState
     N = ro.shape[0]
-    if T == 0:
-        return (jnp.full((N, K), -1, jnp.int32),
-                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
-    TP = max(tile, ((T + tile - 1) // tile) * tile)
-    pad = TP - T
-    p0 = jnp.pad(geo.p0, ((0, pad), (0, 0)))
-    e1 = jnp.pad(geo.e1, ((0, pad), (0, 0)))
-    e2 = jnp.pad(geo.e2, ((0, pad), (0, 0)))
-
-    def ray_seg_z_d(s0, sd):
-        """Closest approach between the lane rays and segment tile:
-        returns (z, dist)."""
-        ll = jnp.maximum(jnp.sum(sd * sd, axis=-1), 1e-30)[None]
-        w0 = ro[:, None, :] - s0[None]
-        b = jnp.sum(rd[:, None, :] * sd[None], axis=-1)
-        ddot = jnp.sum(rd[:, None, :] * w0, axis=-1)
-        edot = jnp.sum(sd[None] * w0, axis=-1)
-        denom = ll - b * b
-        u = jnp.clip((b * -ddot + edot)
-                     / jnp.where(denom < 1e-20, 1e-20, denom), 0.0, 1.0)
-        z = jnp.maximum(-ddot + b * u, 0.0)
-        u = jnp.clip((z * b + edot) / ll, 0.0, 1.0)
-        q = s0[None] + u[..., None] * sd[None]
-        pr = ro[:, None, :] + z[..., None] * rd[:, None, :]
-        return z, jnp.linalg.norm(pr - q, axis=-1)
-
-    def body(ci, carry):
-        bz, bidx = carry
-        s = ci * tile
-        ta = jax.lax.dynamic_slice(p0, (s, 0), (tile, 3))
-        t1 = jax.lax.dynamic_slice(e1, (s, 0), (tile, 3))
-        t2 = jax.lax.dynamic_slice(e2, (s, 0), (tile, 3))
-        # direct intersection → distance 0 at the hit parameter
-        th, _, _, hit = ray_tri(ro[:, None, :], rd[:, None, :],
-                                ta[None], t1[None], t2[None],
-                                jnp.zeros((N, 1)),
-                                jnp.broadcast_to(zmax[:, None],
-                                                 (N, tile)))
-        # else: min over the three edge segments
-        z_a, d_a = ray_seg_z_d(ta, t1)
-        z_b, d_b = ray_seg_z_d(ta, t2)
-        z_c, d_c = ray_seg_z_d(ta + t1, t2 - t1)
-        d_e = jnp.minimum(jnp.minimum(d_a, d_b), d_c)
-        z_e = jnp.where(d_a <= jnp.minimum(d_b, d_c), z_a,
-                        jnp.where(d_b <= d_c, z_b, z_c))
-        z = jnp.where(hit, th, z_e)
-        d = jnp.where(hit, 0.0, d_e)
-        radius = x0[:, None] + tan_alpha[:, None] * z
-        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        ok = (ids < T) & (d <= radius) & (z > 1e-7) & (z < zmax[:, None])
-        zk = jnp.where(ok, z, jnp.inf)
-        cat_z = jnp.concatenate([bz, zk], axis=1)
-        cat_i = jnp.concatenate([bidx, jnp.broadcast_to(ids, zk.shape)],
-                                axis=1)
-        neg, sel = jax.lax.top_k(-cat_z, K)
-        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
-
-    init = (jnp.full((N, K), jnp.inf), jnp.full((N, K), -1, jnp.int32))
-    bz, bidx = jax.lax.fori_loop(0, TP // tile, body, init)
-    valid = jnp.isfinite(bz)
-    bidx = jnp.where(valid, bidx, -1)
-    return bidx, bz, valid.sum(axis=1).astype(jnp.int32)
+    ax = jnp.cross(rd, jnp.asarray([0.0, 0.709, 0.705]))
+    ln = jnp.linalg.norm(ax, axis=-1, keepdims=True)
+    alt = jnp.cross(rd, jnp.asarray([1.0, 0.0, 0.0]))
+    ax = jnp.where(ln < 1e-6, alt, ax)
+    ax = ax / jnp.maximum(jnp.linalg.norm(ax, axis=-1, keepdims=True),
+                          1e-12)
+    env = EnvState(x=ax, x0=jnp.broadcast_to(x0, (N,)),
+                   ta=jnp.broadcast_to(tan_alpha, (N,)),
+                   e=jnp.ones((N,)))
+    return tris_near_cone(geo, ro, rd, env, zmax, K, tile=tile)
 
 
 def tris_near_cone(geo: GeoArrays, ro, rd, env, zmax, K: int,
@@ -956,6 +900,161 @@ def tris_in_ball_clustered(geo: GeoArrays, clusters: TriClusters,
     bidx = jnp.take_along_axis(tidx, selk, axis=1)
     valid = jnp.isfinite(bdist)
     return (jnp.where(valid, bidx, -1), bdist,
+            valid.sum(axis=1).astype(jnp.int32))
+
+
+def cone_boundary_minz(geo: GeoArrays, ro, rd, env, bounds, zmax,
+                       tile: int = 512, zmin: float = 1e-7,
+                       exclude_tri=None):
+    """Earliest exact cone–triangle entry ≥ each schedule boundary.
+
+    The hybrid traversal schedule (integrator/traversal.py) consumes the
+    triangle sweep ONLY as min{z : z ≥ d_j} for its 16 fixed segment
+    boundaries d_j — the top-K selection the general sweep performs is a
+    per-tile SORT and dominated the wave bounce on the v5e (measured:
+    replacing it with these masked min-reductions is the difference
+    between 424 ms and ~this kernel's traversal floor). Returns
+    (zc (N, B) per-boundary minima (inf = none ahead), cnt (N,) exact
+    encounter count — feeds the tris-per-cone histogram uncapped).
+    """
+    from wave_tracer_tpu.ops import cone_intersect as ci
+    T = geo.num_tris
+    N = ro.shape[0]
+    B = bounds.shape[1]
+    if T == 0:
+        return (jnp.full((N, B), jnp.inf), jnp.zeros((N,), jnp.int32))
+    if exclude_tri is None:
+        exclude_tri = jnp.full((N,), -1, jnp.int32)
+    TP = max(tile, ((T + tile - 1) // tile) * tile)
+    pad = TP - T
+    p0 = jnp.pad(geo.p0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(geo.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(geo.e2, ((0, pad), (0, 0)))
+
+    xh = env.x
+    yh = jnp.cross(rd, xh)
+    ecc = env.e[:, None]
+
+    def to_local(p):
+        u = p - ro[:, None, :]
+        return jnp.stack([
+            jnp.sum(u * xh[:, None, :], axis=-1),
+            ecc * jnp.sum(u * yh[:, None, :], axis=-1),
+            jnp.sum(u * rd[:, None, :], axis=-1)], axis=-1)
+
+    zmaxb = jnp.broadcast_to(zmax[:, None], (N, tile))
+    zminb = jnp.full((N, tile), zmin)
+
+    def body(ci_idx, carry):
+        zc, cnt = carry
+        s = ci_idx * tile
+        ta_ = jax.lax.dynamic_slice(p0, (s, 0), (tile, 3))
+        t1 = jax.lax.dynamic_slice(e1, (s, 0), (tile, 3))
+        t2 = jax.lax.dynamic_slice(e2, (s, 0), (tile, 3))
+        A = to_local(jnp.broadcast_to(ta_[None], (N, tile, 3)))
+        Bv = to_local(jnp.broadcast_to((ta_ + t1)[None], (N, tile, 3)))
+        C = to_local(jnp.broadcast_to((ta_ + t2)[None], (N, tile, 3)))
+        z, _, ok = ci.intersect_cone_tri(env.x0[:, None], env.ta[:, None],
+                                         A, Bv, C, zminb, zmaxb)
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ok = ok & (ids < T) & (ids != exclude_tri[:, None])
+        zk = jnp.where(ok, z, jnp.inf)
+        cnt = cnt + ok.sum(axis=1, dtype=jnp.int32)
+        # per-boundary masked min (cheap VPU reduce, no sort)
+        for j in range(B):
+            zj = jnp.min(jnp.where(zk >= bounds[:, j:j + 1], zk, jnp.inf),
+                         axis=1)
+            zc = zc.at[:, j].set(jnp.minimum(zc[:, j], zj))
+        return zc, cnt
+
+    init = (jnp.full((N, B), jnp.inf), jnp.zeros((N,), jnp.int32))
+    zc, cnt = jax.lax.fori_loop(0, TP // tile, body, init)
+    return zc, cnt
+
+
+def tris_near_cone_2pass(geo: GeoArrays, ro, rd, env, zmax, K: int,
+                         J: int = 32, tile: int = 512,
+                         zmin: float = 1e-7, exclude_tri=None):
+    """Two-pass exact cone sweep: a ~20-flop bounding-sphere pretest
+    over ALL triangles keeps the earliest J candidates per lane, then
+    the EXACT elliptic cone–triangle entry test runs on those J only
+    (one small gather). This is the per-triangle-granular cousin of the
+    clustered query — same contract as tris_near_cone; the reference's
+    enlarged-AABB cluster test before the exact per-tri test
+    (src/ads/bvh8w.cpp:187-230) plays the same role. Approximate only
+    through the J-candidate cap (J ≫ K; recall validated vs the brute
+    oracle in tests/test_trace.py)."""
+    from wave_tracer_tpu.ops import cone_intersect as ci
+    T = geo.num_tris
+    N = ro.shape[0]
+    if T == 0:
+        return (jnp.full((N, K), -1, jnp.int32),
+                jnp.full((N, K), jnp.inf), jnp.zeros((N,), jnp.int32))
+    if exclude_tri is None:
+        exclude_tri = jnp.full((N,), -1, jnp.int32)
+    TP = max(tile, ((T + tile - 1) // tile) * tile)
+    pad = TP - T
+    p0 = jnp.pad(geo.p0, ((0, pad), (0, 0)), constant_values=1e30)
+    e1 = jnp.pad(geo.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(geo.e2, ((0, pad), (0, 0)))
+
+    def bound_body(ci_idx, carry):
+        bz, bidx = carry
+        s = ci_idx * tile
+        ta_ = jax.lax.dynamic_slice(p0, (s, 0), (tile, 3))
+        t1 = jax.lax.dynamic_slice(e1, (s, 0), (tile, 3))
+        t2 = jax.lax.dynamic_slice(e2, (s, 0), (tile, 3))
+        # per-tile bounding spheres (shared across lanes, tiny)
+        cen = ta_ + (t1 + t2) / 3.0
+        r1 = jnp.sum((ta_ - cen) ** 2, axis=-1)
+        r2_ = jnp.sum((ta_ + t1 - cen) ** 2, axis=-1)
+        r3 = jnp.sum((ta_ + t2 - cen) ** 2, axis=-1)
+        rad = jnp.sqrt(jnp.maximum(jnp.maximum(r1, r2_), r3))
+        w = cen[None, :, :] - ro[:, None, :]
+        zc = jnp.clip(jnp.sum(w * rd[:, None, :], axis=-1), 0.0, None)
+        d2 = jnp.sum(w * w, axis=-1) - zc * zc
+        reach = env.x0[:, None] + env.ta[:, None] * zc + rad[None]
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ok = (ids < T) & (d2 <= reach * reach) \
+            & (zc - rad[None] <= zmax[:, None]) \
+            & (zc + rad[None] > zmin) \
+            & (ids != exclude_tri[:, None])
+        zk = jnp.where(ok, jnp.maximum(zc - rad[None], 0.0), jnp.inf)
+        cat_z = jnp.concatenate([bz, zk], axis=1)
+        cat_i = jnp.concatenate(
+            [bidx, jnp.broadcast_to(ids, zk.shape)], axis=1)
+        neg, sel = jax.lax.top_k(-cat_z, J)
+        return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((N, J), jnp.inf), jnp.full((N, J), 0, jnp.int32))
+    bz, cand = jax.lax.fori_loop(0, TP // tile, bound_body, init)
+    in_range = jnp.isfinite(bz)
+
+    row = geo.tri_geom[cand]                         # ONE packed gather
+    xh = env.x
+    yh = jnp.cross(rd, xh)
+    ecc = env.e[:, None]
+
+    def to_local(p):
+        u = p - ro[:, None, :]
+        return jnp.stack([
+            jnp.sum(u * xh[:, None, :], axis=-1),
+            ecc * jnp.sum(u * yh[:, None, :], axis=-1),
+            jnp.sum(u * rd[:, None, :], axis=-1)], axis=-1)
+
+    A = to_local(row[..., 0:3])
+    B = to_local(row[..., 0:3] + row[..., 3:6])
+    C = to_local(row[..., 0:3] + row[..., 6:9])
+    z, _, ok = ci.intersect_cone_tri(
+        env.x0[:, None], env.ta[:, None], A, B, C,
+        jnp.full((N, J), zmin), jnp.broadcast_to(zmax[:, None], (N, J)))
+    ok = ok & in_range
+    zk = jnp.where(ok, z, jnp.inf)
+    neg, selk = jax.lax.top_k(-zk, K)
+    best_z = -neg
+    best_i = jnp.take_along_axis(cand, selk, axis=1)
+    valid = jnp.isfinite(best_z)
+    return (jnp.where(valid, best_i, -1), best_z,
             valid.sum(axis=1).astype(jnp.int32))
 
 

@@ -76,7 +76,11 @@ STAT_DEPTH_SUM = 6     # Σ completed path depths (mean = /paths)
 STAT_EDGE_HIT = 7      # lanes whose envelope swept ≥1 edge
 STAT_BALLISTIC = 8     # hybrid traversal: ballistic interactions
 STAT_DIFFUSIVE = 9     # hybrid traversal: diffusive (cone) interactions
-STAT_TRI_HIST0 = 10    # tris-per-cone log2 histogram, 8 bins
+STAT_TRI_TESTS = 10    # ray-triangle pair tests issued (the MXU/brute
+                       # all-pairs equivalent of ads_stats' nodes-
+                       # visited/AABB-test counters, ads_stats.hpp:63)
+STAT_CONE_TESTS = 11   # exact cone-triangle tests issued
+STAT_TRI_HIST0 = 12    # tris-per-cone log2 histogram, 8 bins
 N_TRI_HIST = 8         # bins: 0, 1, 2, 3-4, 5-8, 9-16, 17-32, 33+
 N_STATS = STAT_TRI_HIST0 + N_TRI_HIST
 
@@ -277,6 +281,10 @@ def classical_bounce(data, st, dkeys, k, depth, *, eps, mis, rr_depth,
         stats = stats.at[STAT_RR_KILL].add(
             (lane & bs.valid & ~survive).sum(dtype=f32))
         stats = stats.at[STAT_DEPTH_SUM].add(active.sum(dtype=f32))
+        # ray-tri pair tests: trace + NEE shadow, all-pairs backends
+        # (ads_stats.hpp:63 nodes-visited/AABB-test analogue)
+        stats = stats.at[STAT_TRI_TESTS].add(
+            2.0 * N * float(data.geo.num_tris))
     return dict(
         ro=jnp.where(active[:, None], hit.p, st["ro"]),
         rd=jnp.where(active[:, None], wo_w, st["rd"]),

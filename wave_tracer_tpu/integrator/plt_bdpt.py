@@ -56,6 +56,7 @@ from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.wave import beam as beam_geo
 from wave_tracer_tpu.wave import envelope as env_mod
 from wave_tracer_tpu.wave import fraunhofer as fr
+from wave_tracer_tpu.wave import sourcing
 
 BIG = 1e30
 Z_SCALE = 2.0          # interaction-region half-depth / footprint
@@ -573,12 +574,8 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
     em = etab.sample_emission(et, geo, tables.spectra, e0, k, u_em)
     pmf_e = sp.pmf_emitter(e0)
     beta_l0 = em["weight"] / jnp.maximum(pmf_e, 1e-30)
-    pse = et.pse_scale[e0]
-    cosc = et.cos_cutoff[e0]
-    ta_l = jnp.sqrt(jnp.maximum(1.0 - cosc * cosc, 1e-12)) \
-        / jnp.maximum(cosc, 0.1) * pse
-    ta_l = jnp.where(et.etype[e0] == etab.ET_SPOT, ta_l, 0.05 * pse)
-    _, ta_l = beam_geo.make_mub(jnp.zeros((N,)), ta_l, k)
+    # unified sourcing_geometry_t (wave/sourcing.py)
+    _, ta_l = sourcing.source_emitter_mub(et, e0, k)
     lgt = _walk(data, sensor, keys, k, em["y"], em["wo"], beta_l0,
                 em["pdf_dir"], T, eps, 32, ta0=ta_l, polar="stokes",
                 edge_table=edge_table, edge_clusters=edge_clusters,

@@ -27,12 +27,14 @@ from wave_tracer_tpu.integrator import traversal as traversal_mod
 from wave_tracer_tpu.bsdf import device as bsdf_dev
 from wave_tracer_tpu.emitter import table as etab
 from wave_tracer_tpu.integrator.path import (N_STATS, STAT_BALLISTIC,
+                                             STAT_CONE_TESTS,
                                              STAT_DEPTH_SUM,
                                              STAT_DIFFUSIVE,
                                              STAT_EDGE_HIT, STAT_FSD,
                                              STAT_NULL, STAT_RAYS,
                                              STAT_RR_KILL, STAT_SHADOW,
                                              STAT_SURFACE, STAT_TRI_HIST0,
+                                             STAT_TRI_TESTS,
                                              _emitter_pmf, _perp_axis,
                                              _power_heuristic,
                                              _sample_emitter_by_power,
@@ -44,6 +46,7 @@ from wave_tracer_tpu.sampling import rng
 from wave_tracer_tpu.wave import beam as beam_geo
 from wave_tracer_tpu.wave import envelope as env_mod
 from wave_tracer_tpu.wave import fsd as fsd_mod
+from wave_tracer_tpu.wave import sourcing
 
 BIG = 1e30
 # z-extent of the interaction region relative to the footprint major axis
@@ -156,19 +159,42 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
     # traversal.hpp:39-161 as a closed-form schedule over ONE exact
     # cone-triangle set sweep)
     tri_clusters = getattr(data, "tri_clusters", None)
-    if tri_clusters is not None \
-            and geo.num_tris > trace_mod.tri_cluster_min():
+    import os as _os
+    q_mode = _os.environ.get("WT_CONE_QUERY", "")
+    lam = (2.0 * math.pi) / jnp.maximum(k, 1e-9)
+    if q_mode == "2pass":
+        # bounding-sphere pretest + exact test on top-J candidates
+        # (reference enlarged-AABB cluster pretest, bvh8w.cpp:187-230)
+        tidx, tz, tcnt = trace_mod.tris_near_cone_2pass(
+            geo, st["ro"], st["rd"], env, zmax, K,
+            exclude_tri=st["exclude"])
+        tr = traversal_mod.schedule(hit.t, hit.valid, tz, env, lam,
+                                    zmax)
+    elif q_mode == "clustered" and tri_clusters is not None:
         # two-level clustered sweep (sublinear; reference BVH cone walk
-        # src/ads/bvh8w.cpp:233-318 equivalent)
+        # src/ads/bvh8w.cpp:233-318 equivalent; wins on CPU at scale,
+        # gather-bound on the axon v5e)
         tidx, tz, tcnt = trace_mod.tris_near_cone_clustered(
             geo, tri_clusters, st["ro"], st["rd"], env, zmax, K,
             exclude_tri=st["exclude"])
-    else:
+        tr = traversal_mod.schedule(hit.t, hit.valid, tz, env, lam,
+                                    zmax)
+    elif q_mode == "topk":
         tidx, tz, tcnt = trace_mod.tris_near_cone(
             geo, st["ro"], st["rd"], env, zmax, K,
             exclude_tri=st["exclude"])
-    lam = (2.0 * math.pi) / jnp.maximum(k, 1e-9)
-    tr = traversal_mod.schedule(hit.t, hit.valid, tz, env, lam, zmax)
+        tr = traversal_mod.schedule(hit.t, hit.valid, tz, env, lam,
+                                    zmax)
+    else:
+        # default: the schedule consumes only per-boundary earliest
+        # encounters — compute those directly with masked min-reduces
+        # (no per-tile SORT; sees every encounter, not a K-capped set)
+        bounds = traversal_mod.segment_boundaries(lam)
+        zc, tcnt = trace_mod.cone_boundary_minz(
+            geo, st["ro"], st["rd"], env, bounds, zmax,
+            exclude_tri=st["exclude"])
+        tr = traversal_mod.schedule_from_minz(hit.t, hit.valid, zc, env,
+                                              lam, zmax)
 
     # ---- edge sweep inside the beam envelope (FSD aperture feed)
     if fsd and edge_table.count > 0:
@@ -361,11 +387,7 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
     exclude_new = jnp.where(surface, hit.tri, st["exclude"])
     # FSD lanes restart as a near-point MUB source at the aperture;
     # null lanes carry the envelope forward re-anchored at wp
-    env_fsd = env_mod.EnvState(
-        x=_perp_axis(rd_new), x0=jnp.full((N,), 1e-6),
-        ta=jnp.minimum(beam_geo.minimum_uncertainty_tan_alpha(
-            jnp.maximum(fp_int, 1e-9) ** 2, k), 0.3),
-        e=jnp.ones((N,)))
+    env_fsd = sourcing.restart_envelope(rd_new, fp_int, k)
     env_null = env_mod.EnvState(x=env.x, x0=fp_int, ta=env.ta,
                                 e=env.e)
     env_new = env_mod.select(
@@ -409,6 +431,13 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
             (lane & tr.ballistic).sum(dtype=f32))
         stats = stats.at[STAT_DIFFUSIVE].add(
             (lane & tr.diffusive).sum(dtype=f32))
+        # pair-test counters (ads_stats.hpp:63 analogue): one trace +
+        # the 2K+1 coherent shadow legs + NEE per lane, all-pairs; the
+        # cone sweep exact-tests every triangle (brute) per lane
+        T_ = float(geo.num_tris)
+        stats = stats.at[STAT_TRI_TESTS].add(
+            (2.0 + (2 * K + 1) * float(bool(fsd))) * N * T_)
+        stats = stats.at[STAT_CONE_TESTS].add(N * T_)
         # tris-per-cone histogram (reference ads_stats.hpp:78-86)
         stats = stats.at[STAT_TRI_HIST0 + tri_hist_bin(tcnt)].add(
             lane.astype(f32))

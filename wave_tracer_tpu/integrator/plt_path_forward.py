@@ -38,6 +38,7 @@ from wave_tracer_tpu.wave import beam as beam_geo
 from wave_tracer_tpu.wave import envelope as env_mod
 from wave_tracer_tpu.wave import fraunhofer as fr
 from wave_tracer_tpu.wave import fsd as fsd_mod
+from wave_tracer_tpu.wave import sourcing
 
 BIG = 1e30
 Z_SCALE = 2.0
@@ -112,13 +113,8 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
     plane_area = float(sensor.extent[0] * sensor.extent[1])
 
     # beam envelope sourcing from the emitter's phase-space scale
-    pse = et.pse_scale[e0]
-    cosc = et.cos_cutoff[e0]
-    ta0 = jnp.sqrt(jnp.maximum(1.0 - cosc * cosc, 1e-12)) \
-        / jnp.maximum(cosc, 0.1) * pse
-    is_spot = et.etype[e0] == etab.ET_SPOT
-    ta0 = jnp.where(is_spot, ta0, 0.05 * pse)
-    se_mub, ta_mub = beam_geo.make_mub(jnp.zeros((N,)), ta0, k)
+    # (unified sourcing_geometry_t, wave/sourcing.py)
+    se_mub, ta_mub = sourcing.source_emitter_mub(et, e0, k)
     x0_0 = jnp.sqrt(jnp.maximum(se_mub, 0.0))
 
     D = max_depth
@@ -365,16 +361,32 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             fsd_lane = midflight & fsmp["valid"]
         elif fsd:
             # Fraunhofer ASF interaction (plt_bdpt_detail.hpp:286-346):
-            # power-preserving redirection, direction ~ coherent ASF
-            from wave_tracer_tpu.integrator.plt_bdpt import M_RIS
+            # direction ~ coherent ASF, and the continuation carries
+            # only the UNOBSTRUCTED wavefront fraction I = 1 − ∫wavefront
+            # over region triangles (find_closest_triangle integrate_
+            # tris, :353-419) — the blocked portion belongs to the
+            # surface-hit partition. Without this the full beam power
+            # re-radiates through the aperture and the absolute fringe
+            # level comes out ~8x high (validated against a numerical
+            # Fresnel–Kirchhoff oracle, tests/test_calibration.py).
+            from wave_tracer_tpu.integrator.plt_bdpt import _blocked_flux
+            # more RIS proposals than the bdpt walks use: the t=0
+            # crossings ARE the image here, so the winner distribution
+            # must resolve the ASF's interference fringes
+            M_RIS = 32
             sigma = jnp.maximum(fp_int, 1e-9) / beam_geo.ENVELOPE
             fx = _perp_axis(st["rd"])
             fy = jnp.cross(st["rd"], fx)
             fap, scale = fr.build_aperture_3d(
                 edge_table, eidx, wp, st["rd"], fx, fy, sigma,
                 jnp.maximum(fp_int, 1e-9), k)
+            dz_bf = jnp.maximum(Z_SCALE * fp_int, 4.0 * eps)
+            blocked = _blocked_flux(
+                geo, st["ro"], st["rd"], fx, fy, z_int, dz_bf,
+                env.x0, env.ta, sigma,
+                tri_clusters=getattr(data, "tri_clusters", None))
             uR = rng.uniform(dkeys, rng.D_FSD, 4 * M_RIS + 1)
-            xi, asf_v, _, vs = fr.sample_xi_sir(
+            xi, asf_v, w_ris, vs = fr.sample_xi_sir(
                 fap, uR[:, :4 * M_RIS].reshape(N, M_RIS, 4),
                 uR[:, 4 * M_RIS])
             wo_l, ok_wo = fr.xi_to_wo(xi, scale)
@@ -384,7 +396,21 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                         is_direct=jnp.zeros((N,), bool),
                         pdf=jnp.ones((N,)),
                         valid=jnp.any(fap.valid, axis=1) & vs & ok_wo)
-            w_fsd_scale = jnp.ones((N,))
+            # Weight semantics: the RIS winner at M=32 is treated as
+            # ASF-distributed with DETERMINISTIC weight (1 − blocked) —
+            # the reference's SIR weight-1 convention
+            # (fsd_sampler.cpp:105-110) times the blocked-flux partition
+            # (only the unobstructed wavefront fraction continues,
+            # find_closest_triangle integrate_tris, plt_bdpt_detail.hpp:
+            # 353-419). The fully-unbiased alternative
+            # w_ris/aperture.total was measured to firefly: the weight
+            # tail compounds over the 16-deep bounce chain (single
+            # texels captured 30% of the film). Resampling bias decays
+            # with M; weight variance is zero. Fringe structure comes
+            # from the winner's ASF-ness (measure-consistent asf(),
+            # wave/fraunhofer.py), validated against a numerical
+            # Fresnel–Kirchhoff oracle (tests/test_calibration.py).
+            w_fsd_scale = 1.0 - blocked
             fsd_lane = midflight & fsmp["valid"]
         else:
             fsmp = dict(wo=st["rd"], p=wp,
@@ -408,11 +434,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                            jnp.where(fsd_lane[:, None],
                                      _perp_axis(rd_new), st["xf"]))
         exclude_new = jnp.where(surface, hit.tri, st["exclude"])
-        env_fsd = env_mod.EnvState(
-            x=_perp_axis(rd_new), x0=jnp.full((N,), 1e-6),
-            ta=jnp.minimum(beam_geo.minimum_uncertainty_tan_alpha(
-                jnp.maximum(fp_int, 1e-9) ** 2, k), 0.3),
-            e=jnp.ones((N,)))
+        env_fsd = sourcing.restart_envelope(rd_new, fp_int, k)
         env_null = env_mod.EnvState(x=env.x, x0=fp_int, ta=env.ta,
                                     e=env.e)
         env_new = env_mod.select(

@@ -107,6 +107,47 @@ def schedule(t_ray, ray_hit, tz, env, lam, dist_max,
                            z_region=z_region, escaped=escaped)
 
 
+def schedule_from_minz(t_ray, ray_hit, zc, env, lam, dist_max):
+    """`schedule` variant consuming per-boundary earliest-encounter
+    minima zc (N, 16) from accel.trace.cone_boundary_minz instead of a
+    top-K encounter list. Exactly the same decision rule — but the sweep
+    never has to SORT encounters (zc[:, j] IS min{z : z ≥ d_j}), and it
+    sees every encounter rather than a K-capped subset."""
+    N = t_ray.shape[0]
+    bounds = segment_boundaries(lam)
+    t_eff = jnp.where(ray_hit, t_ray, BIG)
+
+    decided = jnp.zeros((N,), bool)
+    ballistic = jnp.zeros((N,), bool)
+    diffusive = jnp.zeros((N,), bool)
+    escaped = jnp.zeros((N,), bool)
+    z_region = jnp.where(ray_hit, t_eff, 0.0)
+
+    for j in range(MAX_SEGMENTS):
+        d = bounds[:, j]
+        b_now = ~decided & (t_eff <= d)
+        ballistic = ballistic | b_now
+        decided = decided | b_now
+        zcj = zc[:, j]
+        none_ahead = ~jnp.isfinite(zcj)
+        maj = env.major(d)
+        ok = jnp.isfinite(zcj) & (zcj - d >= 0.5 * maj) \
+            & (zcj <= t_eff) & (zcj < dist_max)
+        e_now = ~decided & none_ahead & (t_eff >= BIG)
+        d_now = ~decided & ok
+        escaped = escaped | e_now
+        diffusive = diffusive | d_now
+        z_region = jnp.where(d_now, zcj, z_region)
+        decided = decided | e_now | d_now
+
+    b_fin = ~decided & ray_hit & (t_eff < dist_max)
+    ballistic = ballistic | b_fin
+    escaped = escaped | (~decided & ~b_fin)
+    z_region = jnp.where(ballistic, t_eff, z_region)
+    return TraversalResult(ballistic=ballistic, diffusive=diffusive,
+                           z_region=z_region, escaped=escaped)
+
+
 def region_depth(env, z):
     """Interaction-region z-depth at distance z: Z_SCALE × major axis
     (reference ads.hpp z_search_range_scale semantics)."""

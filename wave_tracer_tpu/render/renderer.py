@@ -60,6 +60,12 @@ class Renderer:
     # (integrator/path_compact.py): dead lanes refill instead of riding
     # the depth loop — ~1.5-2x throughput at depth 8 with RR
     compact: bool = True
+    # device-side perf counters carried through the hot loop. The
+    # reference compile-time-gates its equivalents OFF outside Profile
+    # builds (_additional_ads_stats, CMakeLists:393-396); here they are
+    # a runtime toggle (default on — the test suite asserts on them;
+    # benchmarks turn them off to mirror the reference's default build)
+    device_stats: bool = True
 
     def render_sensor(self, sensor_index: int = 0, spp: int | None = None,
                       progress=None, init_film=None, spp_start: int = 0):
@@ -192,7 +198,7 @@ class Renderer:
         out = dict(seconds=dt, paths=total_lanes,
                    paths_per_sec=total_lanes / max(dt, 1e-9), mode=mode,
                    spp_done=spp_done, interrupted=spp_done < spp)
-        if dev_stats is not None:
+        if dev_stats is not None and self.device_stats:
             out["device_counters"] = _record_device_stats(
                 np.asarray(dev_stats))
         return img, out
@@ -230,16 +236,19 @@ class Renderer:
             mode = "stepped" if (wave and not is_cpu) else "while"
         key = ("compact", mode, id(sensor), cfg.max_depth, float(eps),
                bool(cfg.mis), bool(wave), bool(fsd),
+               bool(self.device_stats),
                bool(getattr(sensor, "polarimetric", False)))
         if key in _kernel_cache:
             kern = _kernel_cache[key][1]
         else:
             if mode == "stepped":
                 kern = make_stepped_kernel(sensor, cfg.max_depth, eps,
-                                           cfg.mis, wave=wave, fsd=fsd)
+                                           cfg.mis, wave=wave, fsd=fsd,
+                                           with_stats=self.device_stats)
             else:
                 kern = make_compact_kernel(sensor, cfg.max_depth, eps,
-                                           cfg.mis, wave=wave, fsd=fsd)
+                                           cfg.mis, wave=wave, fsd=fsd,
+                                           with_stats=self.device_stats)
             _kernel_cache[key] = (sensor, kern)
 
         # chunk by spp for interrupt/progress granularity
@@ -282,7 +291,7 @@ class Renderer:
                    interrupted=spp_done < spp)
         dev_stats = jnp.sum(jnp.stack(kst_list), axis=0) \
             if kst_list else None
-        if dev_stats is not None:
+        if dev_stats is not None and self.device_stats:
             out["device_counters"] = _record_device_stats(
                 np.asarray(dev_stats))
         return img, out
@@ -341,9 +350,10 @@ def _record_device_stats(vec):
     (reference stat_collector_registry.hpp:40-76 behaviour) and return it
     as a dict."""
     from wave_tracer_tpu.integrator.path import (
-        N_TRI_HIST, STAT_BALLISTIC, STAT_DEPTH_SUM, STAT_DIFFUSIVE,
-        STAT_EDGE_HIT, STAT_FSD, STAT_NULL, STAT_RAYS, STAT_RR_KILL,
-        STAT_SHADOW, STAT_SURFACE, STAT_TRI_HIST0)
+        N_TRI_HIST, STAT_BALLISTIC, STAT_CONE_TESTS, STAT_DEPTH_SUM,
+        STAT_DIFFUSIVE, STAT_EDGE_HIT, STAT_FSD, STAT_NULL, STAT_RAYS,
+        STAT_RR_KILL, STAT_SHADOW, STAT_SURFACE, STAT_TRI_HIST0,
+        STAT_TRI_TESTS)
     from wave_tracer_tpu.util import stats as stats_mod
     names = {
         "rays_cast": STAT_RAYS, "shadow_rays": STAT_SHADOW,
@@ -354,6 +364,9 @@ def _record_device_stats(vec):
         "edge_sweep_hits": STAT_EDGE_HIT,
         "ballistic_traversals": STAT_BALLISTIC,
         "diffusive_traversals": STAT_DIFFUSIVE,
+        # ads_stats.hpp:63 analogues for the all-pairs backends
+        "ray_tri_tests": STAT_TRI_TESTS,
+        "cone_tri_tests": STAT_CONE_TESTS,
     }
     out = {}
     reg = stats_mod.registry
@@ -501,10 +514,11 @@ def render_scene(built, sensor_index: int = 0, spp: int | None = None,
                  batch_lanes: int = 1 << 17, seed: int = 0,
                  progress=None, fuse_batches: bool = True,
                  interrupt=None, on_capture=None, init_film=None,
-                 spp_start: int = 0, return_renderer: bool = False):
+                 spp_start: int = 0, return_renderer: bool = False,
+                 device_stats: bool = True):
     r = Renderer(built, batch_lanes=batch_lanes, seed=seed,
                  fuse_batches=fuse_batches, interrupt=interrupt,
-                 on_capture=on_capture)
+                 on_capture=on_capture, device_stats=device_stats)
     out = r.render_sensor(sensor_index, spp, progress,
                           init_film=init_film, spp_start=spp_start)
     if return_renderer:

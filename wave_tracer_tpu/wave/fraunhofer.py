@@ -85,6 +85,7 @@ class FraunhoferAperture:
     P0: jnp.ndarray       # (N,)
     P0_pdf: jnp.ndarray   # (N,)
     psi02: jnp.ndarray    # (N,)
+    total: jnp.ndarray    # (N,) unnormalized ∫ASF dξ (edge powers + P0)
 
 
 def _zeta(ap: FraunhoferAperture, xi):
@@ -118,8 +119,19 @@ def asf_unclamped(ap: FraunhoferAperture, xi):
 
 
 def asf(ap: FraunhoferAperture, xi):
-    """Full ASF with masking and the 0th-order lobe (fsd.hpp ASF)."""
-    return asf_unclamped(ap, xi) * chi_e(xi) + ap.psi02 * chi_0(xi)
+    """Full ASF with masking and the 0th-order lobe.
+
+    DELIBERATE divergence from fsd.hpp:156 (which uses ψ0²·χ0): the
+    0th-order term here is P0·χ0/(2π·σ0²), i.e. the SAME ξ-measure the
+    edge-lobe powers and the sampling mixture use. The reference mixes
+    measures — its P0 is divided by (k·fsd_unit)² (free_space_
+    diffraction.cpp:117, the "horrible hack" comment) while its ASF
+    keeps the unscaled ψ0², making ASF/sampling_density spike by
+    (k·unit)² ≈ 1.6e4 on the forward lobe: unusable for unbiased RIS
+    weights and it overweights the direct lobe in MIS pdfs. With this
+    form ∫ASF dξ = Σpj + P0 = aperture.total exactly."""
+    return asf_unclamped(ap, xi) * chi_e(xi) \
+        + ap.P0 * INV_TWO_PI / P0_SIGMA ** 2 * chi_0(xi)
 
 
 def sampling_density(ap: FraunhoferAperture, xi):
@@ -149,7 +161,8 @@ def empty_fr_aperture(N, B):
         a_b=jnp.zeros((N, B), jnp.complex64),
         iab_2=jnp.zeros((N, B), jnp.complex64),
         valid=jnp.zeros((N, B), bool), edge_pdf=jnp.zeros((N, B)),
-        P0=jnp.zeros(N), P0_pdf=jnp.zeros(N), psi02=jnp.zeros(N))
+        P0=jnp.zeros(N), P0_pdf=jnp.zeros(N), psi02=jnp.zeros(N),
+        total=jnp.zeros(N))
 
 
 def build_aperture(seg_p1, seg_p2, amp1, amp2, valid, p0_scale=1.0):
@@ -175,7 +188,7 @@ def build_aperture(seg_p1, seg_p2, amp1, amp2, valid, p0_scale=1.0):
                                                                 iab_2, 0),
         valid=valid, edge_pdf=pj,
         P0=jnp.zeros(e.shape[0]), P0_pdf=jnp.zeros(e.shape[0]),
-        psi02=jnp.zeros(e.shape[0]))
+        psi02=jnp.zeros(e.shape[0]), total=jnp.zeros(e.shape[0]))
 
     # 0th-order power from the 8-direction ASF ring probe
     # (free_space_diffraction.cpp:105-117)
@@ -197,7 +210,7 @@ def build_aperture(seg_p1, seg_p2, amp1, amp2, valid, p0_scale=1.0):
     tot = jnp.maximum(total, 1e-30)
     return ap.replace(psi02=psi02, P0=P0,
                       P0_pdf=jnp.where(total > 0, P0 / tot, 1.0),
-                      edge_pdf=pj / tot[:, None])
+                      edge_pdf=pj / tot[:, None], total=total)
 
 
 # ---------------------------------------------------------------------------
