@@ -25,7 +25,7 @@ import sys
 
 BASELINE_WAVE_BEAMS_PER_SEC = 10_000.0
 BASELINE_CLASSICAL_PATHS_PER_SEC = 100_000.0
-CHILD_TIMEOUT_SECS = 1500
+CHILD_TIMEOUT_SECS = 1800
 
 
 def _load_box(defines):
@@ -70,6 +70,8 @@ def child():
     assert np.isfinite(img).all()
     print("RESULT wave", stats["paths_per_sec"], flush=True)
 
+    wave_built = built
+
     # ---- secondary: classical kernel (compacted persistent wavefront)
     scene.integrator.fsd = False
     built = build_scene(scene)
@@ -110,6 +112,21 @@ def child():
                               fuse_batches=False, device_stats=False)
     assert np.isfinite(img).all()
     print("RESULT wave100k", stats["paths_per_sec"], flush=True)
+
+    # ---- secondary: plt_bdpt on the 11k-tri box — the integrator
+    # box.xml actually declares (reference scenes/cornell-box/box.xml:8).
+    # Bidirectional walks + Fraunhofer FSD + light-image splats; batched
+    # driver (the fixed-vertex-array subpath walks do not fit the refill
+    # compaction model — renderer.py policy note). Placed last so a
+    # wedged bdpt compile cannot cost the other secondaries.
+    wave_built.scene.integrator.type = "plt_bdpt"
+    img, stats = render_scene(wave_built, spp=1, batch_lanes=LANES,
+                              fuse_batches=False, device_stats=False)
+    print("PARTIAL bdpt", stats["paths_per_sec"], flush=True)
+    img, stats = render_scene(wave_built, spp=4, batch_lanes=LANES,
+                              fuse_batches=False, device_stats=False)
+    assert np.isfinite(img).all()
+    print("RESULT bdpt", stats["paths_per_sec"], flush=True)
 
 
 def main():
@@ -155,6 +172,7 @@ def main():
                 best.get("tri100k", 0.0), 1),
             "wave_100k_tris_beams_per_sec": round(
                 best.get("wave100k", 0.0), 1),
+            "bdpt_paths_per_sec": round(best.get("bdpt", 0.0), 1),
         },
     }))
 

@@ -93,7 +93,8 @@ def main():
                                                 * sensor_.height)
         pxy = jnp.stack([pix % sensor_.width, pix // sensor_.width],
                         axis=-1)
-        return pxy, jnp.full((N, 2), 0.5), jnp.zeros((N,), jnp.int32)
+        return (pxy, jnp.full((N, 2), 0.5), jnp.zeros((N,), jnp.int32),
+                jnp.ones((N,), bool))
 
     def run_kernel(kname, n):
         mesh = make_mesh(n)

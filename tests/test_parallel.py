@@ -5,6 +5,8 @@ per-chip partial films psum-merged must reproduce the single-device result
 (the counter-based RNG keys by (pixel, sample), so sharding cannot change
 the image)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -30,7 +32,8 @@ def _lanes(sensor, n):
     pxy = jnp.stack([pix % sensor.width, pix // sensor.width], axis=-1)
     jitter = jnp.full((n, 2), 0.5)
     sids = jnp.zeros((n,), jnp.int32)
-    return pxy, jitter, sids
+    live = jnp.ones((n,), bool)
+    return pxy, jitter, sids, live
 
 
 class TestSharding:
@@ -40,7 +43,7 @@ class TestSharding:
             pytest.skip("needs 8 virtual devices")
         sensor = scene.sensors[0]
         N = 64
-        pxy, jitter, sids = _lanes(sensor, N)
+        pxy, jitter, sids, live = _lanes(sensor, N)
         key = rng.make_base_key(0)
 
         # single-device reference: trace + splat
@@ -56,7 +59,7 @@ class TestSharding:
         step = sharded_render_step(mesh, sensor, max_depth=3, eps=1e-4)
         film1 = film_mod.make_film(sensor.width, sensor.height, 3,
                                    sensor.rfilter_sigma)
-        out = step(built.data, film1, key, pxy, jitter, sids)
+        out = step(built.data, film1, key, pxy, jitter, sids, live)
 
         np.testing.assert_allclose(np.asarray(out.value),
                                    np.asarray(ref.value),
@@ -79,10 +82,10 @@ class TestSharding:
             step = sharded_render_step(mesh, sensor, max_depth=2,
                                        eps=1e-4)
             N = 32
-            pxy, jitter, sids = _lanes(sensor, N)
+            pxy, jitter, sids, live = _lanes(sensor, N)
             film = film_mod.make_film(sensor.width, sensor.height, 3,
                                       sensor.rfilter_sigma)
-            out = step(built.data, film, key, pxy, jitter, sids)
+            out = step(built.data, film, key, pxy, jitter, sids, live)
             results.append(np.asarray(out.value))
         for r in results[1:]:
             np.testing.assert_allclose(r, results[0], rtol=2e-4,
@@ -102,7 +105,7 @@ class TestWaveForwardBdptSharding:
             pytest.skip("needs 8 virtual devices")
         sensor = scene.sensors[0]
         N = 64
-        pxy, jitter, sids = _lanes(sensor, N)
+        pxy, jitter, sids, live = _lanes(sensor, N)
         key = rng.make_base_key(0)
 
         pos, values, ok = trace_paths_wave(
@@ -116,7 +119,7 @@ class TestWaveForwardBdptSharding:
         step = sharded_wave_step(mesh, sensor, max_depth=3, eps=1e-4)
         film1 = film_mod.make_film(sensor.width, sensor.height, 3,
                                    sensor.rfilter_sigma)
-        out = step(built.data, film1, key, pxy, jitter, sids)
+        out = step(built.data, film1, key, pxy, jitter, sids, live)
         np.testing.assert_allclose(np.asarray(out.value),
                                    np.asarray(ref.value),
                                    rtol=2e-4, atol=1e-6)
@@ -129,7 +132,7 @@ class TestWaveForwardBdptSharding:
             pytest.skip("needs 8 virtual devices")
         sensor = scene.sensors[0]
         N = 32
-        pxy, jitter, sids = _lanes(sensor, N)
+        pxy, jitter, sids, live = _lanes(sensor, N)
         key = rng.make_base_key(2)
 
         pos, values, ok, (lp, lv, lo) = trace_bdpt(
@@ -144,7 +147,7 @@ class TestWaveForwardBdptSharding:
         step = sharded_bdpt_step(mesh, sensor, max_depth=3, eps=1e-4)
         film1 = film_mod.make_film(sensor.width, sensor.height, 3,
                                    sensor.rfilter_sigma)
-        out = step(built.data, film1, key, pxy, jitter, sids)
+        out = step(built.data, film1, key, pxy, jitter, sids, live)
         np.testing.assert_allclose(np.asarray(out.value),
                                    np.asarray(ref.value),
                                    rtol=2e-4, atol=1e-6)
@@ -196,3 +199,30 @@ class TestWaveForwardBdptSharding:
         bad = np.abs(a - b) > 2e-4 * np.abs(b) + 1e-8
         assert bad.mean() <= 2.0 / bad.size + 1e-9, \
             f"{bad.sum()} texels disagree"
+
+
+class TestDistributedCLI:
+    """End-to-end product path: `render … --distributed` (VERDICT r4
+    item 7) — CLI → initialize_distributed → global mesh → host-shard
+    feed → process-0 writes. On the 8-virtual-CPU-device mesh the
+    single-process branch of every launch helper runs for real."""
+
+    def test_cli_distributed_render(self, tmp_path):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from wave_tracer_tpu import cli
+        scene_xml = ("/root/reference/scenes/diffraction_simple/"
+                     "double_slits.xml")
+        if not os.path.isfile(scene_xml):
+            pytest.skip("reference scenes unavailable")
+        rc = cli.main([
+            "render", scene_xml,
+            "-D", "pattern=true,res=32,spp=2",
+            "-o", str(tmp_path), "--distributed"])
+        assert rc == 0
+        outs = list(tmp_path.glob("*.exr"))
+        assert outs, "distributed render wrote no EXR output"
+        from wave_tracer_tpu.render.output import read_exr
+        img, _meta = read_exr(str(outs[0]))
+        assert np.isfinite(img).all()
+        assert float(np.abs(img).sum()) > 0

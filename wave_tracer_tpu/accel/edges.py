@@ -337,15 +337,10 @@ def _exact_cone_entries(ro, rd, env, p0, p1, zmax, zmin: float = 1e-7):
 
 
 def edges_near_cone(edges: EdgeTable, ro, rd, env, zmax, K: int,
-                    tile: int = 1024, zmin=None):
+                    tile: int = 1024):
     """EXACT elliptic cone-mode edge set: entry-distance-ordered top-K
     (replaces the isotropic closest-approach approximation of
-    edges_near_ray when the full envelope state is available).
-
-    zmin (N,) optional: per-lane lower entry bound — lanes restarting
-    from a just-consumed FSD interaction region pass its depth here so
-    the SAME aperture edges (entry z ~ 0 from the new origin) are not
-    re-collected and re-suppressed every bounce."""
+    edges_near_ray when the full envelope state is available)."""
     E = edges.count
     N = ro.shape[0]
     if E == 0:
@@ -365,8 +360,6 @@ def edges_near_cone(edges: EdgeTable, ro, rd, env, zmax, K: int,
             ro, rd, env, jnp.broadcast_to(tp0[None], (N, tile, 3)),
             jnp.broadcast_to(tp1[None], (N, tile, 3)), zmax)
         ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        if zmin is not None:
-            ok = ok & (z >= zmin[:, None])
         zk = jnp.where(ok & (ids < E), z, jnp.inf)
         cat_z = jnp.concatenate([bz, zk], axis=1)
         cat_i = jnp.concatenate([bidx, jnp.broadcast_to(ids, zk.shape)],
@@ -384,7 +377,7 @@ def edges_near_cone(edges: EdgeTable, ro, rd, env, zmax, K: int,
 def edges_near_cone_clustered(edges: EdgeTable, clusters: EdgeClusters,
                               ro, rd, env, zmax, K: int,
                               n_clusters: int = 8,
-                              edges_per_cluster: int = 64, zmin=None):
+                              edges_per_cluster: int = 64):
     """Clustered exact cone-mode edge set: conservative major-axis
     sphere prefilter (the isotropic bound encloses the elliptic
     envelope), then exact cone–edge entries on the candidates."""
@@ -415,8 +408,6 @@ def edges_near_cone_clustered(edges: EdgeTable, clusters: EdgeClusters,
 
     z, ok = _exact_cone_entries(ro, rd, env, edges.p0[eidx],
                                 edges.p1[eidx], zmax)
-    if zmin is not None:
-        ok = ok & (z >= zmin[:, None])
     zq = jnp.where(ok & in_range, z, jnp.inf)
     negk, selk = jax.lax.top_k(-zq, K)
     best_z = -negk

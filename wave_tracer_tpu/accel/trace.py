@@ -363,6 +363,20 @@ def trace(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
     return trace_bvh(geo, ro, rd, tmin, tmax, exclude_tri)
 
 
+def ray_tests_per_lane(geo: GeoArrays) -> float:
+    """Ray–triangle pair tests ONE trace/occluded call issues per lane
+    under the backend `trace()` actually selects (ads_stats.hpp:63
+    analogue). All-pairs backends (MXU / VPU brute) test every triangle;
+    the lock-step BVH's count is data-dependent and not statically known,
+    so it reports 0 — device counters stay trustworthy rather than
+    wrong-by-large-factors."""
+    T = geo.num_tris
+    if T and (T <= BRUTE_THRESHOLD
+              or (T <= MXU_MAX_TRIS and _tpu_like())):
+        return float(T)
+    return 0.0
+
+
 def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
                  exclude_tri2=None, exclude_tri3=None):
     """Any-hit BVH traversal: lanes stop traversing on the first hit
@@ -850,7 +864,9 @@ def tris_in_ball_clustered(geo: GeoArrays, clusters: TriClusters,
                            tris_per_cluster: int | None = None):
     """Clustered variant of tris_in_ball: ball-vs-cluster-sphere sweep,
     then exact point–triangle distances on the candidates. Same return
-    contract (idx, dist, count), nearest-first."""
+    contract (idx, dist, count), nearest-first. APPROXIMATE under dense
+    cluster overlap: only the n_clusters conservatively-nearest clusters
+    are expanded (tests assert ≥98% recall vs the brute sweep)."""
     N = center.shape[0]
     if geo.num_tris == 0:
         return (jnp.full((N, K), -1, jnp.int32),
@@ -872,7 +888,12 @@ def tris_in_ball_clustered(geo: GeoArrays, clusters: TriClusters,
         d = jnp.linalg.norm(cc[None] - center[:, None, :], axis=-1)
         ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         ok = (ids < M) & (d <= radius[:, None] + cr[None])
-        dk = jnp.where(ok, d, jnp.inf)
+        # rank by the conservative NEAREST possible triangle distance
+        # max(d - cr, 0) (like the cone variant's earliest-entry key):
+        # a big cluster whose centre is far can still hold the closest
+        # triangle. The n_clusters truncation remains approximate under
+        # extreme overlap (tests require 98% recall).
+        dk = jnp.where(ok, jnp.maximum(d - cr[None], 0.0), jnp.inf)
         cat_d = jnp.concatenate([bd, dk], axis=1)
         cat_i = jnp.concatenate(
             [bidx, jnp.broadcast_to(ids, dk.shape)], axis=1)

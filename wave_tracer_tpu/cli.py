@@ -44,6 +44,15 @@ def parse_defines(pairs):
 
 def cmd_render(args):
     import jax
+    distributed = getattr(args, "distributed", False)
+    if distributed:
+        # must precede any backend/device use (multi-controller launch:
+        # same command on every host — parallel/launch.py recipes)
+        from wave_tracer_tpu.parallel.launch import (
+            initialize_distributed)
+        initialize_distributed(coordinator=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
@@ -63,6 +72,10 @@ def cmd_render(args):
     defines = parse_defines(args.define)
     scene = load_scene_xml(args.scene, defines,
                            mesh_scale=args.mesh_scale)
+    if getattr(args, "ray_tracing", False):
+        # force classical ray tracing (reference src/main.cpp's
+        # --ray-tracing flag: disables wave transport/FSD globally)
+        scene.integrator.ray_trace_only = True
     print(f"[wave_tracer_tpu] loaded '{os.path.basename(args.scene)}': "
           f"{len(scene.shapes)} shapes, {len(scene.emitters)} emitters, "
           f"{len(scene.sensors)} sensors")
@@ -91,18 +104,41 @@ def cmd_render(args):
               "writing completed work (Ctrl-C again to abort)",
               flush=True)
 
+    ui = None
+    if getattr(args, "ui", None) is not None:
+        # live web frontend (util/ui.py — the reference renderui/GUI
+        # analogue, src/util/gui/gui.cpp): pause/resume/terminate/
+        # capture drive the same interrupt system as Ctrl-C
+        from wave_tracer_tpu.util.ui import RenderUI
+        ui = RenderUI()
+        port = ui.serve(args.ui)
+        print(f"[wave_tracer_tpu] live UI at http://127.0.0.1:{port}/")
+
     def poll_interrupt():
-        return "terminate" if sigint_state["count"] else None
+        if sigint_state["count"]:
+            return "terminate"
+        return ui.interrupt() if ui is not None else None
 
     signal.signal(signal.SIGINT, on_sigint)
+
+    if ui is not None:
+        ui.set_scene_info(dict(
+            scene=os.path.basename(args.scene),
+            shapes=len(scene.shapes), emitters=len(scene.emitters),
+            sensors=[s.id for s in scene.sensors],
+            triangles=int(ntris), integrator=scene.integrator.type))
 
     stats_all = []
     for si, sensor in enumerate(scene.sensors):
         spp = args.spp or sensor.samples
+        if ui is not None:
+            ui.set_sensor(sensor.id or f"sensor{si}")
 
         def progress(done, total):
             print(f"\r[wave_tracer_tpu] sensor {si} ({sensor.id}): "
                   f"{done}/{total} spp", end="", flush=True)
+            if ui is not None:
+                ui.progress(done, total)
 
         init_film, spp_start = None, 0
         ckpt_path = os.path.join(outdir,
@@ -118,12 +154,27 @@ def cmd_render(args):
             print(f"[wave_tracer_tpu] resuming from {ckpt_path} "
                   f"({spp_start}/{spp} spp done)")
 
-        img, stats, rend = render_scene(
-            built, sensor_index=si, spp=spp,
-            batch_lanes=args.batch_lanes, seed=args.seed,
-            progress=progress, interrupt=poll_interrupt,
-            init_film=init_film, spp_start=spp_start,
-            return_renderer=True)
+        if distributed:
+            # global-mesh DP render (parallel/dist.py): every host runs
+            # this same loop; films psum-merge on-device and outputs
+            # are written by process 0 below
+            from wave_tracer_tpu.parallel.dist import render_distributed
+            from wave_tracer_tpu.parallel.launch import is_main_process
+            img, stats = render_distributed(
+                built, sensor_index=si, spp=spp, seed=args.seed,
+                progress=progress)
+            rend = None
+            if not is_main_process():
+                stats_all.append(stats)
+                print()
+                continue
+        else:
+            img, stats, rend = render_scene(
+                built, sensor_index=si, spp=spp,
+                batch_lanes=args.batch_lanes, seed=args.seed,
+                progress=progress, interrupt=poll_interrupt,
+                init_film=init_film, spp_start=spp_start,
+                return_renderer=True)
         print()
         if stats.get("interrupted"):
             from wave_tracer_tpu.render.checkpoint import save_checkpoint
@@ -224,6 +275,18 @@ def main(argv=None):
     rp.add_argument("--resume", action="store_true",
                     help="resume from a sensor checkpoint in the output "
                          "dir (written on interrupt or --checkpoint)")
+    rp.add_argument("--distributed", action="store_true",
+                    help="multi-host render: init jax.distributed, "
+                         "shard lanes over the global device mesh "
+                         "(run the same command on every host)")
+    rp.add_argument("--coordinator", default=None,
+                    help="coordinator host:port (TPU pods auto-detect)")
+    rp.add_argument("--num-processes", type=int, default=None)
+    rp.add_argument("--process-id", type=int, default=None)
+    rp.add_argument("--ray-tracing", action="store_true",
+                    help="force classical ray tracing (disable wave "
+                         "transport / FSD; reference main.cpp "
+                         "--ray-tracing)")
 
     args = ap.parse_args(argv)
     if args.cmd == "version":

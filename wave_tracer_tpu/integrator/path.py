@@ -141,10 +141,13 @@ def trace_paths(data, pixel_xy, jitter, base_key, sample_ids, *,
         prev_pdf=jnp.zeros((N,), jnp.float32),
         prev_specular=jnp.ones((N,), bool),   # depth 0 counts as specular
         stats=jnp.zeros((N_STATS,), jnp.float32),
-        # intensity sums per (depth, {emission, nee}) for estimator
-        # cross-audits (debug_buckets)
-        dbg=jnp.zeros((max_depth, 2), jnp.float32),
     )
+    if debug_buckets:
+        # intensity sums per (depth, {emission, nee}) for estimator
+        # cross-audits — carried ONLY when asked: the two per-bounce
+        # scatter-adds cost ~2 ms/bounce on the axon backend and were
+        # measured eating ~5% of classical throughput when unconditional
+        state["dbg"] = jnp.zeros((max_depth, 2), jnp.float32)
 
     def contribution(M, Li):
         """Stokes vector reaching the sensor for unpolarized light Li."""
@@ -217,12 +220,14 @@ def classical_bounce(data, st, dkeys, k, depth, *, eps, mis, rr_depth,
                      w_mis_e[..., None] * contribution(st["M"], Le),
                      0.0)
     L = st["L"] + dL_e
-    D_dbg = st["dbg"].shape[0]
-    if jnp.ndim(depth) == 0:
-        dbg = st["dbg"].at[depth, 0].add(dL_e[:, 0].sum())
-    else:
-        dbg = st["dbg"].at[jnp.minimum(depth, D_dbg - 1), 0].add(
-            dL_e[:, 0])
+    dbg = st.get("dbg")
+    if dbg is not None:
+        D_dbg = dbg.shape[0]
+        if jnp.ndim(depth) == 0:
+            dbg = dbg.at[depth, 0].add(dL_e[:, 0].sum())
+        else:
+            dbg = dbg.at[jnp.minimum(depth, D_dbg - 1), 0].add(
+                dL_e[:, 0])
 
     # --- NEE
     u_pick = rng.uniform(dkeys, rng.D_EMITTER_PICK)
@@ -249,10 +254,12 @@ def classical_bounce(data, st, dkeys, k, depth, *, eps, mis, rr_depth,
     dL_n = jnp.where(ok_nee[:, None],
                      jnp.asarray(w_mis_n)[..., None] * c_nee, 0.0)
     L = L + dL_n
-    if jnp.ndim(depth) == 0:
-        dbg = dbg.at[depth, 1].add(dL_n[:, 0].sum())
-    else:
-        dbg = dbg.at[jnp.minimum(depth, D_dbg - 1), 1].add(dL_n[:, 0])
+    if dbg is not None:
+        if jnp.ndim(depth) == 0:
+            dbg = dbg.at[depth, 1].add(dL_n[:, 0].sum())
+        else:
+            dbg = dbg.at[jnp.minimum(depth, D_dbg - 1), 1].add(
+                dL_n[:, 0])
 
     # --- BSDF sampling / continuation
     u_b = jnp.concatenate([
@@ -281,10 +288,11 @@ def classical_bounce(data, st, dkeys, k, depth, *, eps, mis, rr_depth,
         stats = stats.at[STAT_RR_KILL].add(
             (lane & bs.valid & ~survive).sum(dtype=f32))
         stats = stats.at[STAT_DEPTH_SUM].add(active.sum(dtype=f32))
-        # ray-tri pair tests: trace + NEE shadow, all-pairs backends
-        # (ads_stats.hpp:63 nodes-visited/AABB-test analogue)
+        # ray-tri pair tests: trace + NEE shadow, counted per the
+        # backend actually selected (0 under the data-dependent BVH —
+        # ads_stats.hpp:63 nodes-visited/AABB-test analogue)
         stats = stats.at[STAT_TRI_TESTS].add(
-            2.0 * N * float(data.geo.num_tris))
+            2.0 * N * trace_mod.ray_tests_per_lane(data.geo))
     return dict(
         ro=jnp.where(active[:, None], hit.p, st["ro"]),
         rd=jnp.where(active[:, None], wo_w, st["rd"]),
@@ -297,7 +305,7 @@ def classical_bounce(data, st, dkeys, k, depth, *, eps, mis, rr_depth,
         prev_specular=jnp.where(active, bs.specular,
                                 st["prev_specular"]),
         stats=stats,
-        dbg=dbg,
+        **({} if dbg is None else {"dbg": dbg}),
     )
 
 

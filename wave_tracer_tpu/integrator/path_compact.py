@@ -104,8 +104,6 @@ def _pool_parts(sensor, max_depth, eps, mis, rr_depth, rr_floor,
         ps0, meta0 = fresh(data, base_key, N, jnp.zeros((N,), jnp.int32))
         ps0["active"] = jnp.zeros((N,), bool)
         ps0["stats"] = jnp.zeros((N_STATS,), jnp.float32)
-        if not wave:
-            ps0["dbg"] = jnp.zeros((max_depth, 2), jnp.float32)
         return dict(ps=ps0, meta=meta0, film=film,
                     pending=jnp.zeros((N,), bool),
                     next_id=jnp.asarray(id_start, jnp.int32))

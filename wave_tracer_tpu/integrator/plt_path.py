@@ -162,6 +162,7 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
     import os as _os
     q_mode = _os.environ.get("WT_CONE_QUERY", "")
     lam = (2.0 * math.pi) / jnp.maximum(k, 1e-9)
+    T_geo = float(geo.num_tris)
     if q_mode == "2pass":
         # bounding-sphere pretest + exact test on top-J candidates
         # (reference enlarged-AABB cluster pretest, bvh8w.cpp:187-230)
@@ -170,6 +171,7 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
             exclude_tri=st["exclude"])
         tr = traversal_mod.schedule(hit.t, hit.valid, tz, env, lam,
                                     zmax)
+        cone_tests_per_lane = 32.0      # exact tests on J=32 candidates
     elif q_mode == "clustered" and tri_clusters is not None:
         # two-level clustered sweep (sublinear; reference BVH cone walk
         # src/ads/bvh8w.cpp:233-318 equivalent; wins on CPU at scale,
@@ -179,12 +181,15 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
             exclude_tri=st["exclude"])
         tr = traversal_mod.schedule(hit.t, hit.valid, tz, env, lam,
                                     zmax)
+        cone_tests_per_lane = float(trace_mod.TRI_N_CLUSTERS
+                                    * trace_mod.TRI_CAP)
     elif q_mode == "topk":
         tidx, tz, tcnt = trace_mod.tris_near_cone(
             geo, st["ro"], st["rd"], env, zmax, K,
             exclude_tri=st["exclude"])
         tr = traversal_mod.schedule(hit.t, hit.valid, tz, env, lam,
                                     zmax)
+        cone_tests_per_lane = T_geo
     else:
         # default: the schedule consumes only per-boundary earliest
         # encounters — compute those directly with masked min-reduces
@@ -195,6 +200,7 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
             exclude_tri=st["exclude"])
         tr = traversal_mod.schedule_from_minz(hit.t, hit.valid, zc, env,
                                               lam, zmax)
+        cone_tests_per_lane = T_geo     # dense min-reduce sweep
 
     # ---- edge sweep inside the beam envelope (FSD aperture feed)
     if fsd and edge_table.count > 0:
@@ -432,12 +438,13 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
         stats = stats.at[STAT_DIFFUSIVE].add(
             (lane & tr.diffusive).sum(dtype=f32))
         # pair-test counters (ads_stats.hpp:63 analogue): one trace +
-        # the 2K+1 coherent shadow legs + NEE per lane, all-pairs; the
-        # cone sweep exact-tests every triangle (brute) per lane
-        T_ = float(geo.num_tris)
+        # the 2K+1 coherent shadow legs + NEE per lane, scaled by the
+        # ray backend actually selected (0 under the data-dependent
+        # BVH); cone tests per the query mode selected above
         stats = stats.at[STAT_TRI_TESTS].add(
-            (2.0 + (2 * K + 1) * float(bool(fsd))) * N * T_)
-        stats = stats.at[STAT_CONE_TESTS].add(N * T_)
+            (2.0 + (2 * K + 1) * float(bool(fsd))) * N
+            * trace_mod.ray_tests_per_lane(geo))
+        stats = stats.at[STAT_CONE_TESTS].add(N * cone_tests_per_lane)
         # tris-per-cone histogram (reference ads_stats.hpp:78-86)
         stats = stats.at[STAT_TRI_HIST0 + tri_hist_bin(tcnt)].add(
             lane.astype(f32))

@@ -227,3 +227,15 @@ def write_png(path: str, img01: np.ndarray):
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
     Image.fromarray(arr).save(path)
+
+
+def encode_png(img01: np.ndarray) -> bytes:
+    """8-bit PNG bytes from a [0,1] float image (live-UI previews)."""
+    import io
+    from PIL import Image
+    arr = np.clip(np.asarray(img01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()

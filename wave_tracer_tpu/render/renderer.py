@@ -222,7 +222,8 @@ class Renderer:
             make_compact_kernel, make_stepped_kernel)
         W, H = sensor.width, sensor.height
         npixels = W * H
-        lanes = min(self.batch_lanes, 1 << 14)
+        lanes = min(self.batch_lanes,
+                    int(os.environ.get("WT_COMPACT_LANES", 1 << 14)))
         mode = os.environ.get("WT_COMPACT_MODE", "")
         if mode not in ("while", "stepped"):
             is_cpu = jax.devices()[0].platform.lower() == "cpu"

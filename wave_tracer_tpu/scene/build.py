@@ -150,7 +150,10 @@ def build_scene(scene: Scene) -> BuiltScene:
         soup.positions[perm0] if len(perm0) else soup.positions,
         soup.geo_n[perm0] if len(perm0) else soup.geo_n)
     edge_clusters = edges_mod.build_edge_clusters(edge_table)
-    tri_clusters = trace_mod.build_tri_clusters(geo.p0, geo.e1, geo.e2)
+    # build with cap = the query-time candidate width (WT_TRI_CAP) so the
+    # no-truncation invariant holds for every knob setting
+    tri_clusters = trace_mod.build_tri_clusters(geo.p0, geo.e1, geo.e2,
+                                                cap=trace_mod.TRI_CAP)
 
     spec_table = bake_spectra(spectra)
     cspec_table = bake_complex(cspectra)

@@ -739,12 +739,21 @@ def load_sensor(loader: Loader, node):
         if c.tag == "film":
             film = load_film(loader, c)
     tw = _to_world(loader, node)
+    def flag(name):
+        # boolean sensor flags appear both as child props and as tag
+        # attributes (<sensor polarimetric="true">,
+        # reference scenes/cornell-box/sphere_polarization.xml:12)
+        if name in props:
+            return bool(props[name])
+        v = loader.subst(node.get(name) or "")
+        return v.strip().lower() in ("true", "1", "yes")
+
     common = dict(
         width=film["width"], height=film["height"],
         rfilter_scale=film["rfilter_scale"], response=film["response"],
         samples=int(props.get("samples", 16)),
-        ray_trace_only=bool(props.get("ray_trace_only", False)),
-        polarimetric=bool(props.get("polarimetric", False)),
+        ray_trace_only=flag("ray_trace_only"),
+        polarimetric=flag("polarimetric"),
         to_world=tw.m, id=node.get("id", typ))
     if typ == "perspective":
         return PerspectiveSensor(fov=props.get("fov", math.radians(45)),
