@@ -205,7 +205,7 @@ class TestSIR:
         against grid integrals of the ASF over radial annuli — this also
         covers the fringe structure (annuli alternate max/min bands)."""
         ap0 = _slit_aperture(width=4.0)
-        N, M = 32768, 8
+        N, M = 16384, 8    # trimmed r5: was 32768 (109 s)
         ap = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (N,) + a.shape[1:]), ap0)
         rng = np.random.default_rng(2)
@@ -216,7 +216,7 @@ class TestSIR:
         w = np.asarray(w_ris)
         assert np.isfinite(w).all() and (w >= 0).all()
 
-        G, Lx = 400, 5.0
+        G, Lx = 320, 5.0
         gx = np.linspace(-Lx, Lx, G)
         X, Y = np.meshgrid(gx, gx, indexing="ij")
         pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], -1),

@@ -137,14 +137,16 @@ class TestWaveForwardBdptSharding:
 
         pos, values, ok, (lp, lv, lo) = trace_bdpt(
             built.data, pxy, jitter, key, sids, sensor=sensor,
-            max_depth=3, eps=1e-4, fsd=True)
+            max_depth=2, eps=1e-4, fsd=True)   # depth 2: halves the
+        # sharded-step compile (r5 suite-time trim; sharding agreement
+        # is depth-independent)
         film0 = film_mod.make_film(sensor.width, sensor.height, 3,
                                    sensor.rfilter_sigma)
         ref = film_mod.splat(film0, pos, values, ok)
         ref = film_mod.splat_direct(ref, lp, lv, lo)
 
         mesh = make_mesh(8)
-        step = sharded_bdpt_step(mesh, sensor, max_depth=3, eps=1e-4)
+        step = sharded_bdpt_step(mesh, sensor, max_depth=2, eps=1e-4)
         film1 = film_mod.make_film(sensor.width, sensor.height, 3,
                                    sensor.rfilter_sigma)
         out = step(built.data, film1, key, pxy, jitter, sids, live)

@@ -37,12 +37,14 @@ from jax.experimental import pallas as pl
 BIG = float(np.float32(3.4e38))
 
 # f32 matmul emulation depth on the MXU: HIGHEST = 6 bf16 passes
-# (near-f64 products), HIGH = 3 passes (~f32 accuracy). Measured on the
-# box scene: HIGH halves trace time with hit parity in the 1e-5 range.
+# (near-f64 products). HIGH (3 passes) is NOT lowerable by the pallas
+# mosaic backend ("Unsupported dot precision: HIGH", jax 0.8 lowering);
+# the option remains for the jnp reference path only.
 _PRECISION = {
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("WT_MXU_PRECISION", "highest").lower()]
+}.get(os.environ.get("WT_MXU_PRECISION", "highest").lower(),
+      jax.lax.Precision.HIGHEST)
 
 # tile shape: swept on the v5e chip (scripts/mxu_tile_sweep.py) — trace
 # time is flat in (BN, BT) within 2% from 256x512 to 1024x1024; 512x512
@@ -104,19 +106,50 @@ def _ray_features(ro, rd, center):
     return jnp.concatenate([rd, m, o, one, pad], axis=-1)
 
 
-def _sides_and_t(rf, tf):
-    """Shared kernel body: matmul + sign tests. Returns (t, hitmask, ids)."""
-    S = jax.lax.dot_general(
+# barycentric shrink for any-hit (shadow) tests: see
+# accel/trace.py::SHADOW_INSET — the side functions are barycentric
+# coordinates scaled by the denom, so the inset is relative to |denom|
+SHADOW_INSET = 1e-4
+
+
+def _dot(rf, tf):
+    """f32-ish matmul on the MXU.
+
+    HIGHEST lowers to 6 bf16 passes. WT_MXU_PRECISION=split3 runs a
+    manual 3-pass split-bf16 product (hi/lo decomposition:
+    hi@hi + hi@lo + lo@hi, ~2^-21 relative — the classic f32 emulation
+    the old HIGH setting promised but Mosaic cannot lower natively);
+    intersection tests only need ~1e-5 relative t accuracy."""
+    if os.environ.get("WT_MXU_PRECISION", "highest").lower() == "split3":
+        rf_hi = rf.astype(jnp.bfloat16)
+        rf_lo = (rf - rf_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        tf_hi = tf.astype(jnp.bfloat16)
+        tf_lo = (tf - tf_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+
+        def bmm(a, b):
+            return jax.lax.dot_general(
+                a, b, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        return bmm(rf_hi, tf_hi) + bmm(rf_hi, tf_lo) + bmm(rf_lo, tf_hi)
+    return jax.lax.dot_general(
         rf, tf, (((1,), (0,)), ((), ())),
         precision=_PRECISION,
-        preferred_element_type=jnp.float32)              # (BN, 4*BT)
+        preferred_element_type=jnp.float32)
+
+
+def _sides_and_t(rf, tf, inset: float = 0.0):
+    """Shared kernel body: matmul + sign tests. Returns (t, hitmask, ids)."""
+    S = _dot(rf, tf)                                     # (BN, 4*BT)
     s0 = S[:, 0 * BT:1 * BT]
     s1 = S[:, 1 * BT:2 * BT]
     s2 = S[:, 2 * BT:3 * BT]
     tn = S[:, 3 * BT:4 * BT]
     denom = s0 + s1 + s2
-    pos = (s0 >= 0) & (s1 >= 0) & (s2 >= 0)
-    neg = (s0 <= 0) & (s1 <= 0) & (s2 <= 0)
+    margin = inset * jnp.abs(denom)
+    pos = (s0 >= margin) & (s1 >= margin) & (s2 >= margin)
+    neg = (s0 <= -margin) & (s1 <= -margin) & (s2 <= -margin)
     dok = jnp.abs(denom) > _DEN_EPS
     t = tn / jnp.where(dok, denom, 1.0)
     return t, (pos | neg) & dok
@@ -154,7 +187,7 @@ def _closest_kernel(rf_ref, tf_ref, aux_ref, out_ref):
 
 def _anyhit_kernel(rf_ref, tf_ref, aux_ref, out_ref):
     j = pl.program_id(1)
-    t, geom_ok = _sides_and_t(rf_ref[:], tf_ref[:])
+    t, geom_ok = _sides_and_t(rf_ref[:], tf_ref[:], inset=SHADOW_INSET)
     tmin = aux_ref[:, 0:1]
     tmax = aux_ref[:, 1:2]
     ex1 = aux_ref[:, 2:3]
@@ -203,7 +236,8 @@ def _launch_ref(tri_feat, rf, aux, anyhit: bool):
     occ = jnp.zeros((N, 1), jnp.float32)
     for j in range(ntt):
         tf = tri_feat[:, j * 4 * BT:(j + 1) * 4 * BT]
-        t, geom_ok = _sides_and_t(rf, tf)
+        t, geom_ok = _sides_and_t(rf, tf, inset=SHADOW_INSET if anyhit
+                                  else 0.0)
         ids = j * BT + jnp.arange(BT, dtype=jnp.float32)[None, :]
         hit = geom_ok & (t > aux[:, 0:1]) & (t <= aux[:, 1:2]) \
             & (ids != aux[:, 2:3]) & (ids != aux[:, 3:4]) \

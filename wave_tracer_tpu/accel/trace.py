@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from wave_tracer_tpu.accel import mxu_trace
+from wave_tracer_tpu.accel import mxu_cone, mxu_trace
 from wave_tracer_tpu.accel.bvh import MAX_DEPTH
 from wave_tracer_tpu.ops.intersect import BIG, ray_aabb, ray_tri
 
@@ -63,6 +63,8 @@ class GeoArrays:
                             #          Rmax3, pad2 (children AABBs inline)
     tri_mxu: jnp.ndarray    # (16, ntiles*4*BT) MXU intersector features
     mxu_center: jnp.ndarray  # (3,) translation applied to the features
+    cone_feat: jnp.ndarray  # (16, ntiles*12*BT) MXU cone-sweep features
+    #                         (accel/mxu_cone.py; local-coord bilinears)
 
     @property
     def num_tris(self):
@@ -141,6 +143,8 @@ def from_soup(soup, mat_id, shape_id, emitter_id, bvh) -> GeoArrays:
         tri_mxu=jnp.asarray(mxu_trace.build_tri_features(
             p[:, 0], e1, e2, mxu_center)),
         mxu_center=jnp.asarray(mxu_center, jnp.float32),
+        cone_feat=jnp.asarray(mxu_cone.build_cone_tri_features(
+            p[:, 0] if T else np.zeros((0, 3)), e1, e2)),
     )
 
 
@@ -200,6 +204,19 @@ def trace_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
     return best_t, best_i, best_u, best_v
 
 
+# barycentric triangle shrink for SHADOW/visibility tests only: FSD
+# shadow legs start and end exactly ON wedge edges, so an any-hit
+# boundary sitting on the geometric edge flips under 1-ulp rounding
+# differences between XLA lowerings (measured: ~5% of fringe pixels
+# unstable across plain/jvp lowerings of the forward kernel). The inset
+# moves the classification boundary strictly inside each triangle —
+# where no legs concentrate — at the cost of an ~inset·tri_size light
+# leak along silhouettes (≈2 µm on the double-slit screen; the
+# reference offsets ray origins off the wedge instead,
+# intersection.hpp offseted_ray_origin).
+SHADOW_INSET = 1e-4
+
+
 def occluded_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
                    exclude_tri2=None, exclude_tri3=None):
     """Any-hit within (tmin, tmax). Returns bool (N,)."""
@@ -224,7 +241,8 @@ def occluded_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
         te2 = jax.lax.dynamic_slice(e2, (s, 0), (_TRI_TILE, 3))
         _, _, _, hit = ray_tri(ro[:, None, :], rd[:, None, :],
                                tp0[None], te1[None], te2[None],
-                               tmin[:, None], tmax[:, None])
+                               tmin[:, None], tmax[:, None],
+                               inset=SHADOW_INSET)
         tri_ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, _TRI_TILE), 1)
         hit &= tri_ids < T
         hit &= tri_ids != exclude_tri[:, None]
@@ -430,7 +448,8 @@ def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
             tiv = jnp.where(ok, ti, 0)
             trow = geo.tri_geom[tiv]
             _, _, _, hit = ray_tri(ro, rd, trow[:, 0:3], trow[:, 3:6],
-                                   trow[:, 6:9], tmin, tmax)
+                                   trow[:, 6:9], tmin, tmax,
+                                   inset=SHADOW_INSET)
             occ = occ | (hit & ok)
         return sp, stack, occ
 

@@ -193,11 +193,27 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
     else:
         # default: the schedule consumes only per-boundary earliest
         # encounters — compute those directly with masked min-reduces
-        # (no per-tile SORT; sees every encounter, not a K-capped set)
+        # (no per-tile SORT; sees every encounter, not a K-capped set).
+        # On TPU the sweep runs in the Pallas VMEM kernel
+        # (accel/mxu_cone.py): one 16-feature matmul produces the local
+        # vertex coords per (lane, tri) pair and the exact entry math
+        # never touches HBM — the XLA version materialises (N, tile)
+        # temporaries between fusion boundaries and is HBM-bound at
+        # scale (VERDICT r4 item 6).
         bounds = traversal_mod.segment_boundaries(lam)
-        zc, tcnt = trace_mod.cone_boundary_minz(
-            geo, st["ro"], st["rd"], env, bounds, zmax,
-            exclude_tri=st["exclude"])
+        use_mxu = (q_mode == "mxu"
+                   or (q_mode == "" and trace_mod._tpu_like()
+                       and geo.num_tris <= trace_mod.MXU_MAX_TRIS))
+        if use_mxu:
+            from wave_tracer_tpu.accel import mxu_cone
+            zc, tcnt = mxu_cone.cone_boundary_minz_mxu(
+                geo, st["ro"], st["rd"], env, bounds, zmax,
+                exclude_tri=st["exclude"],
+                use_pallas=trace_mod._tpu_like())
+        else:
+            zc, tcnt = trace_mod.cone_boundary_minz(
+                geo, st["ro"], st["rd"], env, bounds, zmax,
+                exclude_tri=st["exclude"])
         tr = traversal_mod.schedule_from_minz(hit.t, hit.valid, zc, env,
                                               lam, zmax)
         cone_tests_per_lane = T_geo     # dense min-reduce sweep

@@ -13,12 +13,20 @@ import jax.numpy as jnp
 BIG = jnp.float32(3.4e38)
 
 
-def ray_tri(ro, rd, p0, e1, e2, tmin, tmax):
+def ray_tri(ro, rd, p0, e1, e2, tmin, tmax, inset: float = 0.0):
     """Two-sided Moller-Trumbore.
 
     ro, rd: (..., 3) ray origin/direction
     p0, e1, e2: (..., 3) triangle vertex 0 and edges (p1-p0, p2-p0)
     Broadcasts; returns (t, u, v, hit) with t=BIG where missed.
+
+    inset: barycentric shrink of the triangle (u, v, 1−u−v ≥ inset).
+    Shadow/visibility tests pass a tiny positive value so their hit
+    classification boundary sits strictly INSIDE the triangle instead
+    of on its geometric edges — FSD shadow legs start and end exactly
+    on wedge edges, and a boundary at the edge flips under 1-ulp
+    rounding differences between XLA lowerings (the reference offsets
+    ray origins instead, intersection.hpp offseted_ray_origin).
     """
     pvec = jnp.cross(rd, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
@@ -29,8 +37,8 @@ def ray_tri(ro, rd, p0, e1, e2, tmin, tmax):
     qvec = jnp.cross(tvec, e1)
     v = jnp.sum(rd * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
-           & (u + v <= 1.0) & (t > tmin) & (t <= tmax))
+    hit = ((jnp.abs(det) > 1e-12) & (u >= inset) & (v >= inset)
+           & (u + v <= 1.0 - inset) & (t > tmin) & (t <= tmax))
     return jnp.where(hit, t, BIG), u, v, hit
 
 

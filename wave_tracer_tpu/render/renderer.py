@@ -115,6 +115,15 @@ class Renderer:
                 and not sensor.ray_trace_only and not cfg.ray_trace_only)
         wave = fsd_on and not bdpt
 
+        # bdpt keeps the batched driver BY DESIGN: a bdpt lane is two
+        # fixed-capacity subpath walks plus an O(S·T) connection matrix
+        # over the stored vertex arrays — there is no per-bounce "lane
+        # died, refill" point the persistent-compaction pool exploits
+        # (the walks already run to their vertex caps, and the
+        # connection phase consumes both walks at once). Measured
+        # r5: the dominant cost is the connection phase, which is
+        # identical under either driver; bench.py carries
+        # bdpt_paths_per_sec for the batched driver.
         if self.compact and not bdpt:
             return self._render_backward_compact(
                 data, sensor, spp, progress, film, base_key, cfg, eps,
@@ -222,8 +231,6 @@ class Renderer:
             make_compact_kernel, make_stepped_kernel)
         W, H = sensor.width, sensor.height
         npixels = W * H
-        lanes = min(self.batch_lanes,
-                    int(os.environ.get("WT_COMPACT_LANES", 1 << 14)))
         mode = os.environ.get("WT_COMPACT_MODE", "")
         if mode not in ("while", "stepped"):
             is_cpu = jax.devices()[0].platform.lower() == "cpu"
@@ -235,6 +242,14 @@ class Renderer:
             # 3-4x in-loop scheduling penalty — stepped wins (9.9k vs
             # 6.4k beams/s batched; the while variant doesn't compile)
             mode = "stepped" if (wave and not is_cpu) else "while"
+        # pool size sweet spots measured per driver (r5 sweep): the
+        # classical while_loop peaks at 8k lanes (97.4k vs 95.7k at
+        # 16k vs 91.7k at 32k); the stepped wave driver amortises its
+        # per-dispatch cost best at 16k
+        default_lanes = (1 << 13) if mode == "while" else (1 << 14)
+        lanes = min(self.batch_lanes,
+                    int(os.environ.get("WT_COMPACT_LANES",
+                                       default_lanes)))
         key = ("compact", mode, id(sensor), cfg.max_depth, float(eps),
                bool(cfg.mis), bool(wave), bool(fsd),
                bool(self.device_stats),
