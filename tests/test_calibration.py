@@ -131,14 +131,19 @@ def test_double_slit_absolute_level_vs_kirchhoff():
     phase-resolved; script archived in docs/diffraction_calibration.md).
 
     What the model reproduces (validated): the central-lobe absolute
-    level within a factor ~2.5, the first fringe minimum/revival
-    positions (≈2.5 mm / ≈4.5 mm at 65 mm throw ⇒ Δx = λL/W with
-    W=0.65 mm slit separation). Known model deficits (shared with the
-    reference's Fraunhofer FSD, cf. the ψ0 "horrible hack" in
-    free_space_diffraction.cpp:105-117): the 0th-order lobe carries the
-    geometric transmission as a single narrow Gaussian, so the outer-gap
-    (|x|>6 mm) geometric component and far revival levels are
-    under-predicted.
+    level within ±30%, the total transmitted fraction (≈0.17 vs the
+    oracle's Gaussian open-mass 0.2), and the first fringe
+    minimum/revival positions (≈2.5 mm / ≈4.5 mm at 65 mm throw ⇒
+    Δx = λL/W with W=0.65 mm slit separation). The round-5
+    flux-consistent partition closed the earlier 0.38×/0.05 deficits:
+    lanes whose central ray hits a region triangle now branch into the
+    ASF redirect with probability (1 − blocked) at full weight, so the
+    ensemble transmits exactly E[1 − blocked] per beam — the reference
+    partitions by where the beam AXIS lands instead
+    (plt_bdpt_detail.hpp:494-512), making its transmitted power follow
+    the emitter-cone aiming distribution. Remaining deficit: the first
+    fringe minimum is shallower than the oracle's (RIS-winner washout
+    at M=32) and far revivals run low.
     """
     import jax.numpy as jnp
     from wave_tracer_tpu.render import render_scene
@@ -175,13 +180,20 @@ def test_double_slit_absolute_level_vs_kirchhoff():
     c = band(0.0, 1.5)
     dip = band(2.2, 2.7)
     rev = band(4.0, 5.0)
-    # absolute central level within a factor 2.5 of Kirchhoff
-    assert 0.4 * K_CENTER / 2.5 < c < K_CENTER * 2.5, \
+    # absolute central level within ±30% of Kirchhoff (round-4 bar was
+    # a factor 2.5; the flux-consistent partition closed it)
+    assert K_CENTER / 1.3 < c < K_CENTER * 1.3, \
         f"central band {c} vs Kirchhoff {K_CENTER}"
+    # total transmitted power ≈ the oracle's Gaussian open-mass (0.2);
+    # the remainder sits in wide angles past the pattern window
+    trans = pat.sum() / max(free.sum(), 1e-30)
+    assert 0.10 < trans < 0.30, \
+        f"transmitted fraction {trans} vs Kirchhoff ~0.2"
     # interference structure: the first minimum is a real dip relative
     # to both neighbours (fringe spacing λL/W = 5 mm)
     assert dip < 0.6 * c, f"no central-to-dip falloff ({dip} vs {c})"
     assert dip < rev * 1.5, f"first revival not above the dip " \
         f"({rev} vs {dip})"
-    # absolute revival level within an order of magnitude
-    assert rev > K_REV / 12.0, f"revival band {rev} vs {K_REV}"
+    # absolute revival level within a factor 3 (was: order of magnitude)
+    assert K_REV / 3.0 < rev < K_REV * 3.0, \
+        f"revival band {rev} vs {K_REV}"

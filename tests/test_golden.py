@@ -50,9 +50,11 @@ def test_wave16_matches_golden():
     assert stats["mode"].startswith("wave")
     golden = os.path.join(os.path.dirname(__file__), "goldens",
                           "wave16.npy")
-    # traversal-classification thresholds sit on float boundaries; allow
-    # a handful of lanes to flip across backend/version changes
-    _check_or_create(golden, img, frac_ok=0.98)
+    # round-5: the FSD boundary window (wave/fsd.py build_aperture)
+    # ramps edge contributions to zero at the envelope edge, so
+    # membership flips no longer produce O(1) changes — threshold
+    # tightened 0.98 → 0.995 (VERDICT r4 item 3)
+    _check_or_create(golden, img, frac_ok=0.995)
 
 
 def test_coverage_slits_matches_golden():
@@ -68,7 +70,9 @@ def test_coverage_slits_matches_golden():
     assert np.isfinite(img).all()
     golden = os.path.join(os.path.dirname(__file__), "goldens",
                           "slits32.npy")
-    # FSD-NEE visibility classifications are rounding-chaotic at ~3% of
-    # lanes across lowerings (see test_gradients_wave) — quantile check
-    _check_or_create(golden, img, frac_ok=0.95, rtol=5e-3,
+    # round-5: tightened 0.95 → 0.99 after the FSD boundary window made
+    # edge-set membership flips continuous (VERDICT r4 item 3); the
+    # residual allowance covers RIS-winner discreteness in the
+    # Fraunhofer redirects
+    _check_or_create(golden, img, frac_ok=0.99, rtol=5e-3,
                      atol_scale=5e-3)

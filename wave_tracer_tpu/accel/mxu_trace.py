@@ -106,20 +106,17 @@ def _ray_features(ro, rd, center):
     return jnp.concatenate([rd, m, o, one, pad], axis=-1)
 
 
-# barycentric shrink for any-hit (shadow) tests: see
-# accel/trace.py::SHADOW_INSET — the side functions are barycentric
-# coordinates scaled by the denom, so the inset is relative to |denom|
-SHADOW_INSET = 1e-4
-
-
 def _dot(rf, tf):
     """f32-ish matmul on the MXU.
 
     HIGHEST lowers to 6 bf16 passes. WT_MXU_PRECISION=split3 runs a
     manual 3-pass split-bf16 product (hi/lo decomposition:
     hi@hi + hi@lo + lo@hi, ~2^-21 relative — the classic f32 emulation
-    the old HIGH setting promised but Mosaic cannot lower natively);
-    intersection tests only need ~1e-5 relative t accuracy."""
+    the old HIGH setting promised but Mosaic cannot lower natively).
+    MEASURED OFF on the axon v5e: inside the Pallas kernel the bf16
+    casts/layout conversions around the (16, ·) contraction make the
+    whole trace ~20x SLOWER than HIGHEST — keep for the jnp reference
+    path only."""
     if os.environ.get("WT_MXU_PRECISION", "highest").lower() == "split3":
         rf_hi = rf.astype(jnp.bfloat16)
         rf_lo = (rf - rf_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -187,7 +184,7 @@ def _closest_kernel(rf_ref, tf_ref, aux_ref, out_ref):
 
 def _anyhit_kernel(rf_ref, tf_ref, aux_ref, out_ref):
     j = pl.program_id(1)
-    t, geom_ok = _sides_and_t(rf_ref[:], tf_ref[:], inset=SHADOW_INSET)
+    t, geom_ok = _sides_and_t(rf_ref[:], tf_ref[:])
     tmin = aux_ref[:, 0:1]
     tmax = aux_ref[:, 1:2]
     ex1 = aux_ref[:, 2:3]
@@ -236,8 +233,7 @@ def _launch_ref(tri_feat, rf, aux, anyhit: bool):
     occ = jnp.zeros((N, 1), jnp.float32)
     for j in range(ntt):
         tf = tri_feat[:, j * 4 * BT:(j + 1) * 4 * BT]
-        t, geom_ok = _sides_and_t(rf, tf, inset=SHADOW_INSET if anyhit
-                                  else 0.0)
+        t, geom_ok = _sides_and_t(rf, tf)
         ids = j * BT + jnp.arange(BT, dtype=jnp.float32)[None, :]
         hit = geom_ok & (t > aux[:, 0:1]) & (t <= aux[:, 1:2]) \
             & (ids != aux[:, 2:3]) & (ids != aux[:, 3:4]) \

@@ -204,19 +204,6 @@ def trace_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
     return best_t, best_i, best_u, best_v
 
 
-# barycentric triangle shrink for SHADOW/visibility tests only: FSD
-# shadow legs start and end exactly ON wedge edges, so an any-hit
-# boundary sitting on the geometric edge flips under 1-ulp rounding
-# differences between XLA lowerings (measured: ~5% of fringe pixels
-# unstable across plain/jvp lowerings of the forward kernel). The inset
-# moves the classification boundary strictly inside each triangle —
-# where no legs concentrate — at the cost of an ~inset·tri_size light
-# leak along silhouettes (≈2 µm on the double-slit screen; the
-# reference offsets ray origins off the wedge instead,
-# intersection.hpp offseted_ray_origin).
-SHADOW_INSET = 1e-4
-
-
 def occluded_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
                    exclude_tri2=None, exclude_tri3=None):
     """Any-hit within (tmin, tmax). Returns bool (N,)."""
@@ -241,8 +228,7 @@ def occluded_brute(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
         te2 = jax.lax.dynamic_slice(e2, (s, 0), (_TRI_TILE, 3))
         _, _, _, hit = ray_tri(ro[:, None, :], rd[:, None, :],
                                tp0[None], te1[None], te2[None],
-                               tmin[:, None], tmax[:, None],
-                               inset=SHADOW_INSET)
+                               tmin[:, None], tmax[:, None])
         tri_ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, _TRI_TILE), 1)
         hit &= tri_ids < T
         hit &= tri_ids != exclude_tri[:, None]
@@ -358,18 +344,26 @@ MXU_MAX_TRIS = 1 << 17
 _backend_cache = {}
 
 
+def platform_is_tpu() -> bool:
+    """True on a real TPU-ish platform (independent of the
+    WT_TRACE_BACKEND override — the cone VMEM kernel selects on this,
+    so forcing the RAY backend to bvh/brute does not silently drop the
+    cone kernel to the slow jnp reference path)."""
+    if "tpu" not in _backend_cache:
+        plat = jax.devices()[0].platform.lower()
+        _backend_cache["tpu"] = plat not in ("cpu", "metal", "rocm")
+    return _backend_cache["tpu"]
+
+
 def _tpu_like() -> bool:
-    """True when the default backend runs Pallas TPU kernels."""
+    """True when the default RAY backend runs Pallas TPU kernels."""
     import os
     override = os.environ.get("WT_TRACE_BACKEND", "auto")
     if override == "mxu":
         return True
     if override in ("bvh", "brute", "cpu"):
         return False
-    if "tpu" not in _backend_cache:
-        plat = jax.devices()[0].platform.lower()
-        _backend_cache["tpu"] = plat not in ("cpu", "metal", "rocm")
-    return _backend_cache["tpu"]
+    return platform_is_tpu()
 
 
 def trace(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None):
@@ -448,8 +442,7 @@ def occluded_bvh(geo: GeoArrays, ro, rd, tmin, tmax, exclude_tri=None,
             tiv = jnp.where(ok, ti, 0)
             trow = geo.tri_geom[tiv]
             _, _, _, hit = ray_tri(ro, rd, trow[:, 0:3], trow[:, 3:6],
-                                   trow[:, 6:9], tmin, tmax,
-                                   inset=SHADOW_INSET)
+                                   trow[:, 6:9], tmin, tmax)
             occ = occ | (hit & ok)
         return sp, stack, occ
 

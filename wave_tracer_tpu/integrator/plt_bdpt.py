@@ -254,6 +254,13 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
                 / beam_geo.ENVELOPE
             fx = _perp_axis(st["rd"])
             fy = jnp.cross(st["rd"], fx)
+            # (no wavefront curvature phase here: the lens-less Fourier
+            # correction needs the DETECTOR distance, which a bdpt walk
+            # does not know at scatter time — the forward/coverage
+            # kernel applies it against its known sensing plane,
+            # plt_path_forward.py. The 1/R_src term alone cancels only
+            # ~12% of the source-cone fringe smear and is not worth the
+            # state it would add to the walk.)
             ap, scale = fr.build_aperture_3d(
                 edge_table, eidx, wp, st["rd"], fx, fy, sigma,
                 jnp.maximum(fp_int, 1e-9), k, subdiv=subdiv)
@@ -271,14 +278,22 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
             wo_l, ok_wo = fr.xi_to_wo(xi, scale)
             wo_fsd = wo_l[:, 0:1] * fx + wo_l[:, 1:2] * fy \
                 + wo_l[:, 2:3] * st["rd"]
-            # the FSD scatter redistributes the full beam power — the
-            # reference's sampler returns weight 1 and its BSDF value
-            # equals its pdf (fsd_sampler.cpp:105-110, fsd wrapper
-            # f() = pdf·sr); the unnormalized ASF·recp_I enters only the
-            # MIS bookkeeping
-            w_fsd = jnp.ones((N,))
             pdf_fsd = asf_v * recp_I
             ap_any = jnp.any(ap.valid, axis=1)
+            # WEIGHT-1 convention, like the reference (fsd_sampler.cpp:
+            # 105-110): the classification (axis hits a region triangle
+            # → surface at full weight; axis through open → redirect at
+            # full weight) IS the flux partition whenever the lane
+            # ensemble's aiming densely samples the wavefront footprint
+            # — true for camera/emitter subpaths in diffuse interiors
+            # (box/veach: bdpt-vs-path agreement holds at 1.01). The
+            # per-beam (1 − blocked) partition that plt_path_forward
+            # applies is the correct convention ONLY for collimated
+            # sources whose aiming cone is narrower than the screen
+            # structure (the double-slit Kirchhoff calibration);
+            # applying it here double-counts the partition and was
+            # measured to break veach bdpt/path agreement (r5).
+            w_fsd = jnp.ones((N,))
             fsd_lane = midflight & ap_any & vs & ok_wo \
                 & jnp.isfinite(pdf_fsd) & (pdf_fsd > 0)
             null_lane = midflight & ~ap_any
@@ -297,25 +312,31 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
             scale = jnp.zeros((N,))
             recp_I = jnp.ones((N,))
 
-        # ---- store vertex (surface or FSD; null consumes no slot)
-        store = surface | fsd_lane
-        pdf_fwd_v = jnp.where(surface, pdf_area,
+        # ---- store vertex (surface or FSD; null consumes no slot).
+        # Lanes branched into the FSD redirect store an FSD vertex —
+        # the full weight rides the redirect (flux-consistent
+        # partition above)
+        surface_eff = surface & ~fsd_lane
+        store = surface_eff | fsd_lane
+        pdf_fwd_v = jnp.where(surface_eff, pdf_area,
                               st["pdf_dir"] / jnp.maximum(z_int, 1e-9)
                               ** 2)
         st["p"] = _emit_at(st["p"], st["cur"],
-                           jnp.where(surface[:, None], hit.p, wp), store)
+                           jnp.where(surface_eff[:, None], hit.p, wp),
+                           store)
         st["ns"] = _emit_at(st["ns"], st["cur"],
-                            jnp.where(surface[:, None], sf.n, st["rd"]),
-                            store)
+                            jnp.where(surface_eff[:, None], sf.n,
+                                      st["rd"]), store)
         st["gn"] = _emit_at(st["gn"], st["cur"],
-                            jnp.where(surface[:, None], hit.geo_n,
+                            jnp.where(surface_eff[:, None], hit.geo_n,
                                       st["rd"]), store)
         st["uv"] = _emit_at(st["uv"], st["cur"], hit.uv, store)
         st["mat"] = _emit_at(st["mat"], st["cur"],
-                             jnp.where(surface, hit.mat_id, -1), store)
+                             jnp.where(surface_eff, hit.mat_id, -1),
+                             store)
         st["emitter"] = _emit_at(st["emitter"], st["cur"],
-                                 jnp.where(surface, hit.emitter_id, -1),
-                                 store)
+                                 jnp.where(surface_eff, hit.emitter_id,
+                                           -1), store)
         st["wi"] = _emit_at(st["wi"], st["cur"], -st["rd"], store)
         st["beta_v"] = _emit_at(st["beta_v"], st["cur"], st["beta"],
                                 store)
@@ -368,7 +389,7 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
             jnp.maximum(fp_int, 1e-9) ** 2, k)
 
         beta_surf = st["beta"] * jnp.abs(bs.Mw[:, 0, 0])
-        beta_next = jnp.where(surface, beta_surf,
+        beta_next = jnp.where(surface_eff, beta_surf,
                               st["beta"] * jnp.where(fsd_lane, w_fsd,
                                                      1.0))
 
@@ -384,10 +405,10 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
             pol_surf = jnp.einsum("nij,nj->ni", bs.Mw, S_rot)
             pax_surf = s_ax
 
-        cont = (surface & bs.valid) | fsd_lane | null_lane
+        cont = (surface_eff & bs.valid) | fsd_lane | null_lane
         active = lane & cont & (beta_next > 1e-25)
-        ro_new = jnp.where(surface[:, None], hit.p, wp)
-        rd_new = jnp.where(surface[:, None], wo_w,
+        ro_new = jnp.where(surface_eff[:, None], hit.p, wp)
+        rd_new = jnp.where(surface_eff[:, None], wo_w,
                            jnp.where(fsd_lane[:, None], wo_fsd,
                                      st["rd"]))
         scl_mid = jnp.where(fsd_lane, w_fsd, 1.0)
@@ -399,12 +420,12 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
                            gs / jnp.maximum(gl, 1e-12))
         pax_mid = jnp.where(fsd_lane[:, None], pax_pt, st["pax"])
         if mueller:
-            pol_new = jnp.where(surface[:, None, None], pol_surf,
+            pol_new = jnp.where(surface_eff[:, None, None], pol_surf,
                                 st["pol"] * scl_mid[:, None, None])
         else:
-            pol_new = jnp.where(surface[:, None], pol_surf,
+            pol_new = jnp.where(surface_eff[:, None], pol_surf,
                                 st["pol"] * scl_mid[:, None])
-        pax_new = jnp.where(surface[:, None], pax_surf, pax_mid)
+        pax_new = jnp.where(surface_eff[:, None], pax_surf, pax_mid)
         st["pol"] = jnp.where(
             active.reshape((N,) + (1,) * (pol_new.ndim - 1)), pol_new,
             st["pol"])
@@ -413,23 +434,23 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         st["rd"] = jnp.where(active[:, None], rd_new, st["rd"])
         st["beta"] = jnp.where(active, beta_next, st["beta"])
         st["pdf_dir"] = jnp.where(
-            active, jnp.where(surface,
+            active, jnp.where(surface_eff,
                               jnp.where(bs.specular, 1.0, bs.pdf),
                               jnp.where(fsd_lane, pdf_fsd,
                                         st["pdf_dir"])), st["pdf_dir"])
         st["exclude"] = jnp.where(active & surface, hit.tri,
                                   jnp.where(active, -1, st["exclude"]))
         st["delta"] = jnp.where(active,
-                                jnp.where(surface, bs.specular, False),
-                                st["delta"])
+                                jnp.where(surface_eff, bs.specular,
+                                          False), st["delta"])
         env_fsd = env_mod.EnvState(
             x=_perp_axis(rd_new), x0=jnp.full((N,), 1e-6),
             ta=jnp.minimum(ta_fsd, 0.3), e=jnp.ones((N,)))
         env_null = env_mod.EnvState(x=env.x, x0=fp_int, ta=env.ta,
                                     e=env.e)
         env_new = env_mod.select(
-            surface, env_surf, env_mod.select(fsd_lane, env_fsd,
-                                              env_null))
+            surface_eff, env_surf, env_mod.select(fsd_lane, env_fsd,
+                                                  env_null))
         st["env"] = env_mod.select(active, env_new, st["env"])
         st["cur"] = st["cur"] + store.astype(jnp.int32)
         st["active"] = active
@@ -438,7 +459,7 @@ def _walk(data, sensor, keys, k, ro, rd, beta0, pdf_dir0, max_verts,
         f32 = jnp.float32
         stats = st["stats"]
         stats = stats.at[STAT_RAYS].add(lane.sum(dtype=f32))
-        stats = stats.at[STAT_SURFACE].add(surface.sum(dtype=f32))
+        stats = stats.at[STAT_SURFACE].add(surface_eff.sum(dtype=f32))
         stats = stats.at[STAT_FSD].add(fsd_lane.sum(dtype=f32))
         stats = stats.at[STAT_NULL].add(null_lane.sum(dtype=f32))
         stats = stats.at[STAT_DEPTH_SUM].add(active.sum(dtype=f32))
@@ -591,11 +612,13 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
     eye4 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4))
 
     def fsd_f_at(vs, idx, dn):
-        """Scalar Fraunhofer FSD BSDF value (= its pdf; the reference fsd
-        wrapper's f() equals pdf·sr, fsd_sampler.cpp:105-110) at stored
-        vertex `idx` for outgoing direction dn, from the per-vertex
-        aperture — this is what lets FSD vertices serve as connection
-        endpoints (reference plt_bdpt_detail.hpp:597-930)."""
+        """Scalar Fraunhofer FSD BSDF value (= its pdf; the reference
+        fsd wrapper's f() equals pdf·sr, fsd_sampler.cpp:105-110) at
+        stored vertex `idx` for outgoing direction dn, from the
+        per-vertex aperture — this is what lets FSD vertices serve as
+        connection endpoints (reference plt_bdpt_detail.hpp:597-930).
+        Consistent with the _walk's weight-1 FSD convention (see the
+        regime note there)."""
         ap_i = jax.tree.map(lambda a: _dyn(a, idx), vs["ap_v"])
         scale_i = _dyn(vs["scale_v"], idx)
         recpI_i = _dyn(vs["recpI_v"], idx)
@@ -883,6 +906,26 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         S1 = jnp.einsum("nij,nj->ni", f_l, S_rot)
         d2c = jnp.maximum(dist_c, 1e-9) ** 2
         val = S1 * (W_cam / d2c)[:, None]
+        # endpoint-remapped bottom alternatives for the tau==1 chain:
+        # the alternative path "camera → v0 → BSDF-hits the emitter"
+        # arrives at v0 along the CAMERA direction, not the stored
+        # chain's continuation. With the stored direction (the global
+        # bot_light), a near-specular v0 whose camera-aligned lobe
+        # points at the emitter contributes an invisible alternative —
+        # w stays ~1 and the t=1 highlight splats double-count the
+        # emitter energy (measured: bdpt/path 1.57 on veach_mis, whose
+        # glossy plates are exactly this configuration; diffuse scenes
+        # are direction-independent and unaffected).
+        _, pdf_em_cam = bsdf_dev.eval_f(
+            tables, mat_l, sfl.to_local(-dn_cam), sfl.to_local(dir0),
+            uv_l, k)
+        r_hit_cam = jnp.where(
+            (et.etype[jnp.maximum(e0, 0)] == etab.ET_AREA)
+            & (cos_e0 > 1e-6) & (pdf_nee_sa0 > 0),
+            pdf_em_cam / jnp.maximum(pdf_nee_sa0, 1e-30), 0.0)
+        bot_l = jnp.where(lv == 0,
+                          (pdf_em_cam > 0).astype(jnp.float32)
+                          * r_hit_cam, bot_light)
         # MIS: re-sample the light chain from the camera side
         cos_l = jnp.where(l_fsd, 1.0,
                           jnp.maximum(jnp.abs(vec.dot(dn_cam, ns_l)),
@@ -900,7 +943,7 @@ def trace_bdpt(data, pixel_xy, jitter, base_key, sample_ids, *, sensor,
         pdf_l_rev = jnp.where(l_fsd, fsd_f_at(lgt, lv, segl), pdf_l_rev)
         r_end_l = pdf_l_rev * jnp.abs(vec.dot(segl, ns_lprev)) / dl2
         ssum_l = _side_sum(s_len, pconn_lgt, r_end_l, lgt["pdf_fwd"],
-                           lgt["delta_v"], S_lgt, F_lgt, bot_light)
+                           lgt["delta_v"], S_lgt, F_lgt, bot_l)
         w = 1.0 / jnp.maximum(1.0 + ssum_l, 1.0)
         ok = _dyn(lgt["valid"], lv) & ~_dyn(lgt["delta_v"], lv) \
             & visible & ~occ3 & (val[:, 0] > 0)

@@ -202,14 +202,14 @@ def wave_bounce(data, edge_table, st, dkeys, k, depth, *, eps, mis,
         # scale (VERDICT r4 item 6).
         bounds = traversal_mod.segment_boundaries(lam)
         use_mxu = (q_mode == "mxu"
-                   or (q_mode == "" and trace_mod._tpu_like()
+                   or (q_mode == "" and trace_mod.platform_is_tpu()
                        and geo.num_tris <= trace_mod.MXU_MAX_TRIS))
         if use_mxu:
             from wave_tracer_tpu.accel import mxu_cone
             zc, tcnt = mxu_cone.cone_boundary_minz_mxu(
                 geo, st["ro"], st["rd"], env, bounds, zmax,
                 exclude_tri=st["exclude"],
-                use_pallas=trace_mod._tpu_like())
+                use_pallas=trace_mod.platform_is_tpu())
         else:
             zc, tcnt = trace_mod.cone_boundary_minz(
                 geo, st["ro"], st["rd"], env, bounds, zmax,

@@ -134,6 +134,10 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         fsd_ap=fsd_mod.empty_aperture(N, K),
         fsd_valid=jnp.zeros((N,), bool),
         sampled_fsd=jnp.zeros((N,), bool),
+        # path length since the last REAL scatter (null restarts move
+        # the origin without a physical event): the incident wavefront
+        # curvature radius at the next interaction
+        dist_src=jnp.zeros((N,), jnp.float32),
         prev_vert=em["y"],
         S_prev=jnp.zeros((N, 4), jnp.float32),
         # FSD-NEE records, one per depth (nee_forward,
@@ -317,9 +321,21 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         hit_plane = st["hit_plane"] | crosses
 
         # ---- FSD-NEE splat (reference nee_forward: connection weight
-        # W·f·A/dist², visibility inside the coherent sum)
+        # W·f·A/dist², visibility inside the coherent sum). The
+        # connection FADES with the aperture's strongest boundary
+        # window (wave/fsd.py FsdAperture.w): an aperture holding only
+        # envelope-grazing edges contributes ~nothing, so the discrete
+        # any_valid() gate flipping under cross-lowering rounding no
+        # longer produces O(1) splat changes (measured 1.6% of legs
+        # before this fade; see test_gradients_wave cross-lowering
+        # bound).
+        if fsd and utd:
+            ap_w_max = jnp.max(jnp.where(ap_now.valid, ap_now.w, 0.0),
+                               axis=1)
+        else:
+            ap_w_max = jnp.zeros((N,))
         S_int = deferred(st["S"], st["S_prev"], f_cont)
-        nee_w = f_nee * W_sens * plane_area \
+        nee_w = f_nee * W_sens * plane_area * jnp.minimum(ap_w_max, 1.0) \
             / jnp.maximum(nee_dist * nee_dist, 1e-12)
         nx_perp = plane_xa - vec.dot(plane_xa, nee_dirn)[:, None] \
             * nee_dirn
@@ -377,15 +393,29 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             sigma = jnp.maximum(fp_int, 1e-9) / beam_geo.ENVELOPE
             fx = _perp_axis(st["rd"])
             fy = jnp.cross(st["rd"], fx)
+            # wavefront quadratic phase: incident spherical curvature
+            # (R = path length since the last real scatter — the
+            # source, for direct illumination) plus the finite
+            # sensing-plane distance L (the lens-less Fourier
+            # configuration). This pins the fringe positions of every
+            # beam of the source cone to the same absolute location —
+            # without it each beam's pattern shifts by ~(R+L)·tilt and
+            # the ensemble fills the fringe minima (build_aperture_3d
+            # docstring; validated by the Kirchhoff dip bands).
+            R_src = jnp.maximum(st["dist_src"] + z_int,
+                                4.0 * jnp.maximum(fp_int, 1e-9))
+            L_det = tpl - z_int
+            inv_L = jnp.where(inside & (L_det > 1e-6), 1.0 / L_det, 0.0)
+            curv = 0.5 * k * (1.0 / R_src + inv_L)
             fap, scale = fr.build_aperture_3d(
                 edge_table, eidx, wp, st["rd"], fx, fy, sigma,
-                jnp.maximum(fp_int, 1e-9), k)
+                jnp.maximum(fp_int, 1e-9), k, curv=curv)
             dz_bf = jnp.maximum(Z_SCALE * fp_int, 4.0 * eps)
             blocked = _blocked_flux(
                 geo, st["ro"], st["rd"], fx, fy, z_int, dz_bf,
                 env.x0, env.ta, sigma,
                 tri_clusters=getattr(data, "tri_clusters", None))
-            uR = rng.uniform(dkeys, rng.D_FSD, 4 * M_RIS + 1)
+            uR = rng.uniform(dkeys, rng.D_FSD, 4 * M_RIS + 2)
             xi, asf_v, w_ris, vs = fr.sample_xi_sir(
                 fap, uR[:, :4 * M_RIS].reshape(N, M_RIS, 4),
                 uR[:, 4 * M_RIS])
@@ -410,8 +440,24 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             # from the winner's ASF-ness (measure-consistent asf(),
             # wave/fraunhofer.py), validated against a numerical
             # Fresnel–Kirchhoff oracle (tests/test_calibration.py).
-            w_fsd_scale = 1.0 - blocked
-            fsd_lane = midflight & fsmp["valid"]
+            #
+            # Flux-consistent partition (IMPROVES on the reference,
+            # whose find_closest_triangle partitions by where the beam
+            # AXIS lands, plt_bdpt_detail.hpp:494-512 — its weight-1
+            # FSD convention makes the transmitted power follow the
+            # emitter-cone aiming distribution instead of the wavefront
+            # mass): a lane whose central ray hits a region triangle
+            # branches stochastically — with probability (1 − blocked)
+            # it redirects through the same ASF at FULL weight, else it
+            # takes the surface event at full weight. Together with the
+            # deterministic (1 − blocked) carried by axis-through-open
+            # lanes the ensemble transmits exactly E[1 − blocked] per
+            # beam, matching the Kirchhoff oracle's Gaussian open-mass
+            # (validated in tests/test_calibration.py).
+            redirect_surf = surface & have_edges & fsmp["valid"] \
+                & (uR[:, 4 * M_RIS + 1] >= blocked)
+            w_fsd_scale = jnp.where(redirect_surf, 1.0, 1.0 - blocked)
+            fsd_lane = (midflight & fsmp["valid"]) | redirect_surf
         else:
             fsmp = dict(wo=st["rd"], p=wp,
                         is_direct=jnp.ones((N,), bool),
@@ -421,16 +467,19 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
             fsd_lane = jnp.zeros((N,), bool)
 
         null_lane = midflight & ~fsd_lane
+        # surface lanes branched into the FSD redirect leave the
+        # surface partition entirely (full weight rides the redirect)
+        surface_eff = surface & ~fsd_lane
 
-        ro_new = jnp.where(surface[:, None], hit.p,
+        ro_new = jnp.where(surface_eff[:, None], hit.p,
                            jnp.where(fsd_lane[:, None], fsmp["p"], wp))
-        rd_new = jnp.where(surface[:, None], wo_surface,
+        rd_new = jnp.where(surface_eff[:, None], wo_surface,
                            jnp.where(fsd_lane[:, None], fsmp["wo"],
                                      st["rd"]))
         S_new = jnp.where(
-            surface[:, None], S_surf,
+            surface_eff[:, None], S_surf,
             S_int * jnp.where(fsd_lane, w_fsd_scale, 1.0)[:, None])
-        xf_new = jnp.where(surface[:, None], xf_surf,
+        xf_new = jnp.where(surface_eff[:, None], xf_surf,
                            jnp.where(fsd_lane[:, None],
                                      _perp_axis(rd_new), st["xf"]))
         exclude_new = jnp.where(surface, hit.tri, st["exclude"])
@@ -438,8 +487,8 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         env_null = env_mod.EnvState(x=env.x, x0=fp_int, ta=env.ta,
                                     e=env.e)
         env_new = env_mod.select(
-            surface, env_surf, env_mod.select(fsd_lane, env_fsd,
-                                              env_null))
+            surface_eff, env_surf, env_mod.select(fsd_lane, env_fsd,
+                                                  env_null))
 
         fsd_valid_new = jnp.asarray(fsd) & has_interaction \
             & ap_now.any_valid()
@@ -452,7 +501,7 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
         survive = jnp.where(do_rr, u_rr < q, True)
         S_new = S_new / jnp.where(do_rr, q, 1.0)[:, None]
 
-        cont = (surface & bs.valid) | fsd_lane | null_lane
+        cont = (surface_eff & bs.valid) | fsd_lane | null_lane
         active = lane & cont & survive & (jnp.abs(S_new[:, 0]) > 1e-25) \
             & jnp.isfinite(S_new[:, 0])
 
@@ -475,6 +524,9 @@ def trace_forward(data, lane_ids, base_key, sample_ids, *, sensor,
                     n, o), ap_now, st["fsd_ap"]),
             fsd_valid=active & fsd_valid_new,
             sampled_fsd=sel(fsd_lane, st["sampled_fsd"]),
+            dist_src=sel(jnp.where(null_lane,
+                                   st["dist_src"] + z_int, 0.0),
+                         st["dist_src"]),
             prev_vert=sel(st["ro"], st["prev_vert"]),
             # (the deferred coherent sum runs from the segment ORIGIN —
             # the beam arriving at the aperture — reference

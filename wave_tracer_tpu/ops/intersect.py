@@ -20,13 +20,13 @@ def ray_tri(ro, rd, p0, e1, e2, tmin, tmax, inset: float = 0.0):
     p0, e1, e2: (..., 3) triangle vertex 0 and edges (p1-p0, p2-p0)
     Broadcasts; returns (t, u, v, hit) with t=BIG where missed.
 
-    inset: barycentric shrink of the triangle (u, v, 1−u−v ≥ inset).
-    Shadow/visibility tests pass a tiny positive value so their hit
-    classification boundary sits strictly INSIDE the triangle instead
-    of on its geometric edges — FSD shadow legs start and end exactly
-    on wedge edges, and a boundary at the edge flips under 1-ulp
-    rounding differences between XLA lowerings (the reference offsets
-    ray origins instead, intersection.hpp offseted_ray_origin).
+    inset: optional barycentric shrink of the triangle (u, v, 1−u−v ≥
+    inset). A shadow-test inset was tried against the cross-lowering
+    flip problem (round-5) and REMOVED: it did not move the measured
+    flip rate (the flips live in the coherent-sum side/visibility
+    classifications, not the any-hit boundary) and it leaks through
+    mesh vertices where many triangles meet (rays aimed at a pole
+    vertex miss every adjacent triangle's shrunken interior).
     """
     pvec = jnp.cross(rd, e2)
     det = jnp.sum(e1 * pvec, axis=-1)

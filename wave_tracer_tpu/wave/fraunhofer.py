@@ -468,7 +468,7 @@ FSD_UNIT_M = 1e-3     # canonical space is mm-based (fsd_unit = 1 mm)
 
 
 def build_aperture_3d(edges, idx, origin, rd, fx, fy, sigma_m, r_env,
-                      k, subdiv: int = 4):
+                      k, subdiv: int = 4, curv=None):
     """Project ball/sweep-queried edges into the beam cross-section and
     assemble the canonical aperture.
 
@@ -482,6 +482,17 @@ def build_aperture_3d(edges, idx, origin, rd, fx, fy, sigma_m, r_env,
     onto the cross-section → clip to the envelope circle → subdivide into
     `subdiv` segments with Gaussian-wavefront amplitudes at the split
     points → canonical mm units.
+
+    curv (N,) optional [rad/m²]: quadratic wavefront-phase coefficient —
+    amplitudes gain e^{i·curv·|u|²} with u the cross-section offset [m].
+    Pass k/2·(1/R_src + 1/L_det) to account for the incident spherical
+    curvature AND the finite detector distance (the lens-less Fourier
+    configuration): the stationary-phase fringe positions then become
+    independent of which beam of the source cone carried them — without
+    it every beam's pattern shifts by ~(R+L)·tilt and the source-cone
+    ensemble smears the fringe minima (measured on the double-slit
+    calibration; the reference's REAL-amplitude aperture,
+    free_space_diffraction.cpp:72-95, has exactly this smear).
     """
     N, K = idx.shape
     i = jnp.maximum(idx, 0)
@@ -519,11 +530,14 @@ def build_aperture_3d(edges, idx, origin, rd, fx, fy, sigma_m, r_env,
     ts = t1[..., None] + (t2 - t1)[..., None] \
         * jnp.linspace(0.0, 1.0, subdiv + 1)              # (N, K, S+1)
     pts = u1[..., None, :] + ts[..., None] * dseg[..., None, :]
-    q = jnp.sum(pts * pts, axis=-1) \
-        / jnp.maximum(sigma_m[:, None, None] ** 2, 1e-30)
+    u2_ = jnp.sum(pts * pts, axis=-1)
+    q = u2_ / jnp.maximum(sigma_m[:, None, None] ** 2, 1e-30)
     dens = jnp.exp(-0.5 * q) / jnp.maximum(
         2.0 * math.pi * sigma_m[:, None, None] ** 2, 1e-30)
-    amp = jnp.sqrt(dens)                                   # (N, K, S+1)
+    amp = jnp.sqrt(dens).astype(jnp.complex64)             # (N, K, S+1)
+    if curv is not None:
+        amp = amp * jnp.exp(
+            1j * (curv[:, None, None] * u2_).astype(jnp.complex64))
 
     seg_p1 = pts[..., :-1, :].reshape(N, K * subdiv, 2) / FSD_UNIT_M
     seg_p2 = pts[..., 1:, :].reshape(N, K * subdiv, 2) / FSD_UNIT_M

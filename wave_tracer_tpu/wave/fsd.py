@@ -36,6 +36,9 @@ class FsdAperture:
     alpha: jnp.ndarray    # (N, K)
     edge_idx: jnp.ndarray  # (N, K) i32 row into the EdgeTable (−1 empty)
     valid: jnp.ndarray    # (N, K) bool
+    w: jnp.ndarray        # (N, K) boundary window — ramps an edge's
+    #                       contribution to 0 as it exits the envelope,
+    #                       so set-membership flips are continuous
 
     @property
     def e(self):
@@ -82,10 +85,11 @@ def build_aperture(edges: EdgeTable, idx, wp, wi, region_radius
     p0 = row[..., 0:3]
     e_dir = row[..., 3:6]
     L = row[..., 19]
-    w = wp[:, None, :] - p0
-    tproj = jnp.sum(w * e_dir, axis=-1)
-    d2 = jnp.sum(w * w, axis=-1) - tproj ** 2
-    r2 = (region_radius[:, None]) ** 2
+    wv = wp[:, None, :] - p0
+    tproj = jnp.sum(wv * e_dir, axis=-1)
+    d2 = jnp.sum(wv * wv, axis=-1) - tproj ** 2
+    r = jnp.maximum(region_radius[:, None], 1e-20)
+    r2 = r ** 2
     span = vec.safe_sqrt(r2 - d2, 1e-30)
     tlo = jnp.clip(tproj - span, 0.0, L)
     thi = jnp.clip(tproj + span, 0.0, L)
@@ -94,8 +98,23 @@ def build_aperture(edges: EdgeTable, idx, wp, wi, region_radius
     half_l = 0.5 * (thi - tlo)
 
     ok &= idx >= 0
+    # boundary window: the UTD wedge coefficient is O(1) however little
+    # of the edge the envelope actually grazes, so set membership used
+    # to be a step — 1-ulp rounding shifts under different XLA fusions
+    # flipped near-tie classifications at ~3% of lanes with O(1) output
+    # changes (tests/test_gradients_wave.py round-3/4 investigation).
+    # Ramp the contribution to 0 continuously over the outer 2% of the
+    # envelope radius and the first 1%·r of clipped length instead —
+    # the flip boundary now carries zero weight (the reference offsets
+    # tolerances instead, cone_intersection_tolerance.hpp; a continuous
+    # window is the array-land equivalent with a stability guarantee).
+    d = vec.safe_sqrt(jnp.maximum(d2, 0.0), 0.0)
+    w_env = jnp.clip((1.0 - d / r) / 0.02, 0.0, 1.0)
+    w_len = jnp.clip((thi - tlo) / (0.01 * r), 0.0, 1.0)
+    win = jnp.where(ok, w_env * w_len, 0.0)
     return FsdAperture(v=v, half_l=half_l, nff=nff, tff=tff, nbf=nbf,
-                       alpha=row[..., 18], edge_idx=idx, valid=ok)
+                       alpha=row[..., 18], edge_idx=idx, valid=ok,
+                       w=win)
 
 
 def aperture_face_tris(edges: EdgeTable, ap: FsdAperture):
@@ -117,7 +136,7 @@ def empty_aperture(N: int, K: int) -> FsdAperture:
     z = jnp.zeros((N, K), jnp.float32)
     return FsdAperture(v=z3, half_l=z, nff=z3, tff=z3, nbf=z3, alpha=z,
                        edge_idx=jnp.full((N, K), -1, jnp.int32),
-                       valid=jnp.zeros((N, K), bool))
+                       valid=jnp.zeros((N, K), bool), w=z)
 
 
 def fsd_eval(ap: FsdAperture, k, src, dst):
@@ -134,20 +153,31 @@ def fsd_eval(ap: FsdAperture, k, src, dst):
                                     src_e, dst_e)
     ui = src_e - p
     uo = dst_e - p
-    # ignore rays into the wedge
-    side_i = (jnp.sum(ui * ap.nff, axis=-1) > 0) \
-        | (jnp.sum(ui * ap.nbf, axis=-1) > 0)
-    side_o = (jnp.sum(uo * ap.nff, axis=-1) > 0) \
-        | (jnp.sum(uo * ap.nbf, axis=-1) > 0)
     ri = vec.safe_length(ui)
     ro = vec.safe_length(uo)
     wi = ui / jnp.maximum(ri, 1e-20)[..., None]
     wo = uo / jnp.maximum(ro, 1e-20)[..., None]   # p → dst
+    # ignore rays into the wedge. The strict sign test flips at machine
+    # epsilon when src/dst lie exactly IN a wedge face's plane (common:
+    # restarted lanes sit in the plane of their own aperture edges) —
+    # a grazing-band RAMP was tried against those cross-lowering flips
+    # (round-5) and REVERTED: cos→0 is the UTD shadow-boundary region
+    # where the diffracted field legitimately carries O(1) energy (it
+    # compensates the geometric-optics discontinuity), and zeroing it
+    # dimmed the veach plt_path render enough to break bdpt/path
+    # agreement (ratio 1.01 → 1.56). The residual flip noise is covered
+    # by the fusion-lottery bound in tests/test_gradients_wave.py.
+    side_i = (jnp.sum(wi * ap.nff, axis=-1) > 0) \
+        | (jnp.sum(wi * ap.nbf, axis=-1) > 0)
+    side_o = (jnp.sum(wo * ap.nff, axis=-1) > 0) \
+        | (jnp.sum(wo * ap.nbf, axis=-1) > 0)
     Ds, Dh = utd.utd_coefficients(k[:, None], wi, wo, ro, e, ap.tff,
                                   ap.nff, ap.alpha)
     valid = ap.valid & pvalid & side_i & side_o
-    Ds = jnp.where(valid, Ds, 0.0)
-    Dh = jnp.where(valid, Dh, 0.0)
+    # envelope-boundary window (see build_aperture): contributions ramp
+    # to zero at the envelope edge so membership flips stay continuous
+    Ds = jnp.where(valid, Ds * ap.w.astype(Ds.dtype), 0.0)
+    Dh = jnp.where(valid, Dh * ap.w.astype(Dh.dtype), 0.0)
     return dict(Ds=Ds, Dh=Dh, p=p, ri=ri, ro=ro, valid=valid, wi=wi, wo=wo)
 
 
